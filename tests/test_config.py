@@ -1,0 +1,73 @@
+import json
+
+from wavenet_autoencoders_tpu.config import Config, available_presets, load_preset
+
+
+def test_defaults_match_reference_hparams():
+    cfg = Config()
+    # spot-check against reference hparams.py:8-135
+    assert cfg.input_type == "raw"
+    assert cfg.quantize_channels == 65536
+    assert cfg.sample_rate == 22050
+    assert cfg.layers == 24 and cfg.stacks == 4
+    assert cfg.ema_decay == 0.9999
+    assert cfg.dim_in == 39
+
+
+def test_parse_override_grammar():
+    cfg = Config().parse("batch_size=16,input_type=mulaw-quantize,ema=true")
+    assert cfg.batch_size == 16
+    assert cfg.input_type == "mulaw-quantize"
+    assert cfg.ema is True
+    # list / json values
+    cfg = cfg.parse('upsample_params={"upsample_scales": [4, 4, 8, 5]}')
+    assert cfg.upsample_scales == [4, 4, 8, 5]
+
+
+def test_unknown_keys_go_to_extras():
+    cfg = Config().parse_json(json.dumps({"batch_size": 3, "mystery_flag": 7}))
+    assert cfg.batch_size == 3
+    assert cfg.extras["mystery_flag"] == 7
+    assert cfg.values()["mystery_flag"] == 7
+
+
+def test_presets_load():
+    names = available_presets()
+    assert {"vqwae", "svqwae", "inae", "catae", "wvae", "vocoder"} <= set(names)
+    cfg = load_preset("vqwae")
+    # hps/vqwae.json parity spot checks
+    assert cfg.name == "vqvae"
+    assert cfg.sample_rate == 16000
+    assert cfg.fft_size == 400 and cfg.hop_size == 160
+    assert cfg.upsample_scales == [4, 4, 8, 5]
+    assert cfg.max_time_steps == 5120
+    assert cfg.K == 256 and cfg.encoder_hid == 256
+    assert cfg.is_mulaw_quantize and not cfg.is_scalar_input
+
+    svq = load_preset("svqwae")
+    assert svq.sliced and svq.ins_norm and svq.gate_channels == 368
+
+    inae = load_preset("inae")
+    assert inae.frame_rate == 50 and inae.adain and inae.gin_channels == 64
+
+
+def test_preset_with_overrides():
+    cfg = load_preset("vqwae", "batch_size=2,max_time_steps=1280")
+    assert cfg.batch_size == 2 and cfg.max_time_steps == 1280
+
+
+def test_save_load_roundtrip(tmp_path):
+    cfg = load_preset("svqwae", "batch_size=7")
+    p = tmp_path / "config.json"
+    cfg.save(p)
+    cfg2 = Config.load(p)
+    assert cfg2.batch_size == 7
+    assert cfg2.values() == cfg.values()
+
+
+def test_derived_quantities():
+    cfg = load_preset("vqwae")
+    assert cfg.get_hop_size() == 160
+    assert cfg.get_win_length() == 400
+    # 160 * (100//25) = 640 samples per latent frame (SURVEY §2.1 upsampler row)
+    assert cfg.up_factor == 640

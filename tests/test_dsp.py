@@ -1,0 +1,231 @@
+import numpy as np
+import pytest
+
+from wavenet_autoencoders_tpu import dsp
+from wavenet_autoencoders_tpu.config import load_preset
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return load_preset("vqwae")
+
+
+# ---------------- mu-law ----------------
+
+
+def test_mulaw_roundtrip():
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, 1000).astype(np.float64)
+    y = dsp.inv_mulaw(dsp.mulaw(x, 255), 255)
+    np.testing.assert_allclose(y, x, atol=1e-10)
+
+
+def test_mulaw_quantize_range_and_silence_code():
+    rng = np.random.default_rng(1)
+    x = rng.uniform(-1, 1, 1000)
+    q = dsp.mulaw_quantize(x, 255)
+    assert q.min() >= 0 and q.max() <= 255
+    # reference padding value: P.mulaw_quantize(0, 255) == 127
+    assert dsp.mulaw_quantize(0, 255) == 127
+
+
+def test_mulaw_quantize_roundtrip_error_small():
+    rng = np.random.default_rng(2)
+    x = rng.uniform(-1, 1, 4096)
+    x_rec = dsp.inv_mulaw_quantize(dsp.mulaw_quantize(x, 255), 255)
+    # mu-law 8-bit quantization SNR ~ 38 dB on uniform data
+    assert np.abs(x_rec - x).max() < 0.05
+
+
+def test_mulaw_jax_matches_numpy():
+    import jax.numpy as jnp
+
+    x = np.linspace(-1, 1, 101)
+    # jax computes in float32; numpy in float64
+    np.testing.assert_allclose(
+        np.asarray(dsp.mulaw(jnp.array(x), 255)), dsp.mulaw(x, 255), atol=1e-4
+    )
+    q = np.asarray(dsp.mulaw_quantize(jnp.array(x), 255))
+    # float32 (jax) vs float64 (numpy) rounding may differ by one code at
+    # exact bin boundaries
+    assert np.abs(q - dsp.mulaw_quantize(x, 255)).max() <= 1
+
+
+# ---------------- pre-emphasis ----------------
+
+
+def test_preemphasis_roundtrip():
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(2048)
+    y = dsp.preemphasis(x, 0.85)
+    x_rec = dsp.inv_preemphasis(y, 0.85)
+    np.testing.assert_allclose(x_rec, x, atol=1e-8)
+
+
+def test_preemphasis_matches_scipy_lfilter():
+    from scipy.signal import lfilter
+
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal(512)
+    np.testing.assert_allclose(
+        dsp.preemphasis(x, 0.85), lfilter([1, -0.85], [1], x), atol=1e-12
+    )
+
+
+def test_inv_preemphasis_jax_matches_scipy():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal(300).astype(np.float32)
+    ref = dsp.inv_preemphasis(x, 0.85)
+    got = np.asarray(dsp.mulaw.__globals__["inv_preemphasis"](jnp.array(x), 0.85))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+# ---------------- STFT / mel / DCT ----------------
+
+
+def test_stft_parseval_sine(cfg):
+    # a pure tone concentrates energy in the expected bin
+    sr, f0 = cfg.sample_rate, 1000.0
+    t = np.arange(sr) / sr
+    y = np.sin(2 * np.pi * f0 * t).astype(np.float32)
+    D = dsp.stft(y, n_fft=400, hop_length=160, win_length=400)
+    assert D.shape[0] == 201
+    mag = np.abs(D)[:, 10:-10].mean(axis=1)
+    peak_bin = mag.argmax()
+    expected_bin = round(f0 * 400 / sr)
+    assert abs(int(peak_bin) - expected_bin) <= 1
+
+
+def test_stft_matches_manual_rfft():
+    rng = np.random.default_rng(6)
+    y = rng.standard_normal(2000).astype(np.float64)
+    n_fft, hop = 400, 160
+    D = dsp.stft(y, n_fft, hop, center=False)
+    w = dsp.hann_window(n_fft)
+    man = np.fft.rfft(y[:n_fft] * w)
+    np.testing.assert_allclose(D[:, 0], man, atol=1e-9)
+    man2 = np.fft.rfft(y[hop : hop + n_fft] * w)
+    np.testing.assert_allclose(D[:, 1], man2, atol=1e-9)
+
+
+def test_mel_filterbank_properties():
+    fb = dsp.mel_filterbank(16000, 400, n_mels=80, fmin=125, fmax=7600)
+    assert fb.shape == (80, 201)
+    assert (fb >= 0).all()
+    # each filter has some support; bins below fmin have none
+    assert (fb.sum(axis=1) > 0).all()
+    freq_of_bin = np.linspace(0, 8000, 201)
+    assert fb[:, freq_of_bin < 100].sum() == 0
+
+
+def test_dct_matrix_orthonormal():
+    M = dsp.dct_matrix(80, 80)
+    np.testing.assert_allclose(M @ M.T, np.eye(80), atol=1e-10)
+    # matches scipy dct-II ortho
+    from scipy.fftpack import dct
+
+    x = np.random.default_rng(7).standard_normal(80)
+    np.testing.assert_allclose(dsp.dct_matrix(13, 80) @ x, dct(x, type=2, norm="ortho")[:13], atol=1e-10)
+
+
+def test_delta_matches_savgol():
+    from scipy.signal import savgol_filter
+
+    x = np.random.default_rng(8).standard_normal((13, 100))
+    np.testing.assert_allclose(
+        dsp.delta(x, order=1),
+        savgol_filter(x, 9, polyorder=1, deriv=1, axis=-1, mode="interp"),
+    )
+
+
+def test_mfcc_shape_and_finite(cfg):
+    rng = np.random.default_rng(9)
+    y = rng.uniform(-0.5, 0.5, 16000).astype(np.float32)
+    F = dsp.mfcc(y, cfg)
+    assert F.shape[0] == 39  # 13 + Δ13 + ΔΔ13
+    assert F.shape[1] == 1 + 16000 // 160
+    assert np.isfinite(F).all()
+
+
+def test_logmel_shape(cfg):
+    y = np.random.default_rng(10).uniform(-0.5, 0.5, 8000).astype(np.float32)
+    S = dsp.logmelspectrogram(y, cfg)
+    assert S.shape == (80, 1 + 8000 // 160)
+    assert (S <= 10).all() and np.isfinite(S).all()
+
+
+# ---------------- filters / trim ----------------
+
+
+def test_low_cut_filter_removes_dc(cfg):
+    sr = 16000
+    t = np.arange(sr) / sr
+    y = 0.5 + 0.1 * np.sin(2 * np.pi * 1000 * t)
+    z = dsp.low_cut_filter(y, sr, 70.0)
+    # the reference's 255-tap FIR at 70 Hz/8 kHz has DC gain ~0.11
+    # (firwin(255, 70/8000, pass_zero=False)); verify matching attenuation
+    # and that the 1 kHz tone survives at unit gain
+    assert abs(np.mean(z[2000:])) < 0.5 * 0.12
+    assert 0.05 < np.std(z[2000:]) < 0.12
+
+
+def test_trim_silence_db():
+    sr = 16000
+    sig = np.concatenate(
+        [np.zeros(sr // 2), 0.5 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr), np.zeros(sr // 2)]
+    ).astype(np.float32)
+    trimmed, (s, e) = dsp.trim_silence_db(sig, top_db=60)
+    assert len(trimmed) < len(sig)
+    assert s <= sr // 2 + 2048 and e >= sr // 2 + sr - 2048
+
+
+def test_start_and_end_indices():
+    q = np.full(100, 127)
+    q[30] = 200
+    q[70] = 10
+    s, e = dsp.start_and_end_indices(q, 2)
+    assert s == 30 and e == 70
+
+
+def test_adjust_time_resolution():
+    q = np.full(1000, 200)
+    feats = np.random.default_rng(11).standard_normal((10, 4)).astype(np.float32)
+    q2, f2 = dsp.adjust_time_resolution(q, feats, 2)
+    assert len(q2) == len(f2) == 1000
+
+
+# ---------------- CMVN ----------------
+
+
+def test_cmvn_matches_sklearn(tmp_path):
+    from sklearn.preprocessing import StandardScaler
+
+    rng = np.random.default_rng(12)
+    chunks = [rng.standard_normal((rng.integers(10, 50), 39)) * 3 + 1 for _ in range(5)]
+    sc = StandardScaler()
+    cm = dsp.CMVN()
+    for c in chunks:
+        sc.partial_fit(c)
+        cm.partial_fit(c)
+    np.testing.assert_allclose(cm.mean, sc.mean_, rtol=1e-9)
+    np.testing.assert_allclose(cm.scale, sc.scale_, rtol=1e-9)
+    x = chunks[0]
+    np.testing.assert_allclose(cm.transform(x), sc.transform(x), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(cm.inverse_transform(cm.transform(x)), x, rtol=1e-4, atol=1e-4)
+    # persistence
+    cm.save(tmp_path / "cmvn.npz")
+    cm2 = dsp.CMVN.load(tmp_path / "cmvn.npz")
+    np.testing.assert_allclose(cm2.mean, cm.mean)
+
+
+def test_wav_io_roundtrip(tmp_path):
+    sr = 16000
+    y = 0.3 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr).astype(np.float32)
+    dsp.save_wav(y.copy(), tmp_path / "a.wav", sr)
+    z = dsp.load_wav(tmp_path / "a.wav", sr)
+    assert len(z) == len(y)
+    # save_wav peak-normalizes; compare shapes after rescale
+    corr = np.corrcoef(y, z)[0, 1]
+    assert corr > 0.999
