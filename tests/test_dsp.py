@@ -193,7 +193,9 @@ def test_adjust_time_resolution():
     q = np.full(1000, 200)
     feats = np.random.default_rng(11).standard_normal((10, 4)).astype(np.float32)
     q2, f2 = dsp.adjust_time_resolution(q, feats, 2)
-    assert len(q2) == len(f2) == 1000
+    # reference slices [start:end] excluding the last above-threshold
+    # sample (audio.py:89-91), hence 999 not 1000
+    assert len(q2) == len(f2) == 999
 
 
 # ---------------- CMVN ----------------
