@@ -1,0 +1,147 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wavenet_autoencoders_tpu.models.wavenet import WaveNet, fold_weight_norm
+
+
+def tiny_wavenet(**kw):
+    d = dict(
+        out_channels=16,
+        layers=4,
+        stacks=2,
+        residual_channels=8,
+        gate_channels=12,
+        skip_out_channels=8,
+        kernel_size=3,
+        dropout=0.0,
+        cin_channels=5,
+        gin_channels=6,
+        n_speakers=4,
+        upsample_conditional_features=False,
+        scalar_input=False,
+        use_speaker_embedding=True,
+    )
+    d.update(kw)
+    return WaveNet(**d)
+
+
+def test_forward_shapes():
+    net = tiny_wavenet()
+    params = net.init(jax.random.PRNGKey(0))
+    x = jax.nn.one_hot(jnp.zeros((2, 20), jnp.int32), 16)
+    c = jax.random.normal(jax.random.PRNGKey(1), (2, 20, 5))
+    g = jnp.array([0, 3])
+    y = net.apply(params, x, c, g)
+    assert y.shape == (2, 20, 16)
+
+
+def test_forward_causality():
+    net = tiny_wavenet(cin_channels=-1, gin_channels=-1, use_speaker_embedding=False)
+    params = net.init(jax.random.PRNGKey(2))
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 30, 16))
+    y1 = net.apply(params, x)
+    x2 = x.at[:, 15, :].set(7.0)
+    y2 = net.apply(params, x2)
+    # outputs strictly before t=15 unchanged; t>=15 affected
+    np.testing.assert_allclose(np.asarray(y1[:, :15]), np.asarray(y2[:, :15]), atol=1e-4)
+    assert not np.allclose(np.asarray(y1[:, 15:]), np.asarray(y2[:, 15:]))
+
+
+def test_incremental_equals_teacher_forced():
+    """The reference's implicit equivalence test (wavenet.py:249 test_inputs
+    hook), promoted to a real test: the buffered scan decode fed with
+    teacher inputs must reproduce the batch forward exactly."""
+    net = tiny_wavenet()
+    params = net.init(jax.random.PRNGKey(4))
+    B, T = 2, 24
+    x_ids = jax.random.randint(jax.random.PRNGKey(5), (B, T), 0, 16)
+    x = jax.nn.one_hot(x_ids, 16)
+    c = jax.random.normal(jax.random.PRNGKey(6), (B, T, 5))
+    g = jnp.array([1, 2])
+
+    y_batch = net.apply(params, x, c, g, upsampled=True)
+
+    # run the step path teacher-forced, capturing raw logits by disabling
+    # sampling via softmax=False/quantize=False (outputs are then the
+    # post-softmax probs if softmax else raw logits)
+    logits_steps = []
+    g_feat = net._global_features(params, g)
+    bufs = net.init_buffers(B)
+    for t in range(T):
+        logits, bufs = net.step(params, x[:, t], bufs, jnp.int32(t), c[:, t], g_feat)
+        logits_steps.append(np.asarray(logits))
+    y_inc = np.stack(logits_steps, axis=1)
+    np.testing.assert_allclose(np.asarray(y_batch), y_inc, atol=2e-4)
+
+
+def test_incremental_equivalence_via_decode_test_inputs():
+    net = tiny_wavenet(cin_channels=-1, gin_channels=-1, use_speaker_embedding=False)
+    params = net.init(jax.random.PRNGKey(7))
+    B, T = 1, 16
+    x_ids = jax.random.randint(jax.random.PRNGKey(8), (B, T), 0, 16)
+    x = jax.nn.one_hot(x_ids, 16)
+    y_batch = net.apply(params, x, softmax=True)
+    y_dec = net.decode(
+        params,
+        jax.random.PRNGKey(9),
+        T,
+        test_inputs=x,
+        softmax=True,
+        quantize=False,
+    )
+    np.testing.assert_allclose(np.asarray(y_batch), np.asarray(y_dec), atol=2e-4)
+
+
+def test_decode_scalar_input_mol():
+    net = tiny_wavenet(
+        scalar_input=True,
+        out_channels=6,  # 2 mixtures
+        cin_channels=-1,
+        gin_channels=-1,
+        use_speaker_embedding=False,
+    )
+    params = net.init(jax.random.PRNGKey(10))
+    y = net.decode(params, jax.random.PRNGKey(11), 12, log_scale_min=-9.0)
+    assert y.shape == (1, 12, 1)
+    assert np.abs(np.asarray(y)).max() <= 1.0
+
+
+def test_decode_with_upsampled_conditioning():
+    net = tiny_wavenet(
+        upsample_conditional_features=True,
+        upsample_scales=(2, 2),
+        cin_channels=5,
+    )
+    params = net.init(jax.random.PRNGKey(12))
+    c = jax.random.normal(jax.random.PRNGKey(13), (2, 6, 5))
+    g = jnp.array([0, 1])
+    T = 6 * 4
+    y = net.decode(params, jax.random.PRNGKey(14), T, c=c, g=g)
+    assert y.shape == (2, T, 16)
+    # one-hot outputs
+    s = np.asarray(y).sum(-1)
+    np.testing.assert_allclose(s, 1.0, atol=1e-5)
+
+
+def test_fold_weight_norm_preserves_function():
+    net = tiny_wavenet()
+    params = net.init(jax.random.PRNGKey(15))
+    folded = fold_weight_norm(params)
+    x = jax.nn.one_hot(jnp.zeros((1, 8), jnp.int32), 16)
+    c = jax.random.normal(jax.random.PRNGKey(16), (1, 8, 5))
+    g = jnp.array([0])
+    y1 = net.apply(params, x, c, g, upsampled=True)
+    y2 = net.apply(folded, x, c, g, upsampled=True)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
+
+
+def test_jit_decode_compiles_once():
+    net = tiny_wavenet(cin_channels=-1, gin_channels=-1, use_speaker_embedding=False)
+    params = net.init(jax.random.PRNGKey(17))
+    fn = jax.jit(lambda p, k: net.decode(p, k, 8))
+    y1 = fn(params, jax.random.PRNGKey(18))
+    y2 = fn(params, jax.random.PRNGKey(19))
+    assert y1.shape == (1, 8, 16)
+    assert not np.allclose(np.asarray(y1), np.asarray(y2))  # different RNG

@@ -1,0 +1,395 @@
+"""WaveNet AR decoder — teacher-forced batch forward + on-device AR decode.
+
+Re-design of ``wavenet_vocoder/wavenet.py`` for TPU:
+
+- teacher-forced ``apply``: the full dilated-GLU stack over (B, T, C),
+  all convs lowered to MXU matmuls, channels-last.
+- ``decode``: the reference's per-sample Python loop
+  (``wavenet.py:299-339``) becomes a single ``lax.scan`` over T whose body
+  does one fused network step with O(1) circular buffers per layer
+  (see ops.modules.residual_glu_step) and the sampling RNG *inside* the
+  step — zero host↔device traffic during generation, and B utterances
+  decode in parallel to fill the MXU.
+
+Static architecture lives on the (hashable) ``WaveNet`` instance; learnable
+state is an explicit params pytree: {'first', 'layers': [...], 'post1',
+'post2', 'embed'?, 'upsample'?}.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+
+from wavenet_autoencoders_tpu.ops.conv import (
+    conv1d_apply,
+    conv1d_init,
+    receptive_field_size,
+)
+from wavenet_autoencoders_tpu.ops.mixture import (
+    sample_from_discretized_mix_logistic,
+    sample_from_mix_gaussian,
+)
+from wavenet_autoencoders_tpu.ops.modules import (
+    embedding_init,
+    glu_buffer_len,
+    residual_glu_apply,
+    residual_glu_init,
+    residual_glu_step,
+)
+from wavenet_autoencoders_tpu.ops.upsample import (
+    conv_in_upsample_apply,
+    conv_in_upsample_init,
+    upsample_network_apply,
+    upsample_network_init,
+)
+
+
+@dataclass(frozen=True)
+class WaveNet:
+    """Architecture description (mirrors ``wavenet.py:98-111`` kwargs)."""
+
+    out_channels: int = 256
+    layers: int = 20
+    stacks: int = 2
+    residual_channels: int = 512
+    gate_channels: int = 512
+    skip_out_channels: int = 512
+    kernel_size: int = 3
+    dropout: float = 0.05
+    cin_channels: int = -1
+    gin_channels: int = -1
+    n_speakers: int | None = None
+    upsample_conditional_features: bool = False
+    upsample_net: str = "ConvInUpsampleNetwork"
+    upsample_scales: tuple = (4, 4, 4, 4)
+    freq_axis_kernel_size: int = 1
+    cin_pad: int = 0
+    scalar_input: bool = False
+    use_speaker_embedding: bool = False
+    output_distribution: str = "Logistic"
+
+    # ---- derived ----
+    @property
+    def layers_per_stack(self) -> int:
+        assert self.layers % self.stacks == 0
+        return self.layers // self.stacks
+
+    def dilation(self, layer: int) -> int:
+        return 2 ** (layer % self.layers_per_stack)
+
+    @property
+    def receptive_field(self) -> int:
+        return receptive_field_size(self.layers, self.stacks, self.kernel_size)
+
+    @property
+    def in_channels(self) -> int:
+        return 1 if self.scalar_input else self.out_channels
+
+    def has_speaker_embedding(self) -> bool:
+        return self.gin_channels > 0 and self.use_speaker_embedding
+
+    def local_conditioning_enabled(self) -> bool:
+        return self.cin_channels > 0
+
+    # ------------------------------------------------------------------
+    def init(self, key) -> dict:
+        ks = jax.random.split(key, self.layers + 5)
+        p = {
+            "first": conv1d_init(ks[0], self.in_channels, self.residual_channels, 1),
+            "layers": [
+                residual_glu_init(
+                    ks[1 + i],
+                    self.residual_channels,
+                    self.gate_channels,
+                    self.kernel_size,
+                    skip_out_channels=self.skip_out_channels,
+                    cin_channels=self.cin_channels,
+                    gin_channels=self.gin_channels,
+                )
+                for i in range(self.layers)
+            ],
+            "post1": conv1d_init(
+                ks[self.layers + 1], self.skip_out_channels, self.skip_out_channels, 1
+            ),
+            "post2": conv1d_init(
+                ks[self.layers + 2], self.skip_out_channels, self.out_channels, 1
+            ),
+        }
+        if self.has_speaker_embedding():
+            assert self.n_speakers is not None
+            # std=0.1 as in wavenet.py:145-146
+            p["embed"] = embedding_init(ks[self.layers + 3], self.n_speakers, self.gin_channels, std=0.1)
+        if self.upsample_conditional_features:
+            if self.upsample_net == "ConvInUpsampleNetwork":
+                p["upsample"] = conv_in_upsample_init(
+                    ks[self.layers + 4],
+                    self.cin_channels,
+                    self.cin_pad,
+                    self.upsample_scales,
+                    self.freq_axis_kernel_size,
+                )
+            else:
+                p["upsample"] = upsample_network_init(
+                    ks[self.layers + 4], self.upsample_scales, self.freq_axis_kernel_size
+                )
+        return p
+
+    # ------------------------------------------------------------------
+    def _global_features(self, params, g):
+        """Speaker ids (B,) -> (B, gin) via embedding, or pass through
+        continuous global features (B, gin) (``wavenet.py:185-194``)."""
+        if g is None:
+            return None
+        if self.has_speaker_embedding():
+            table = params["embed"]["table"]
+            return jnp.take(table, g.reshape(-1), axis=0)
+        if g.ndim == 3:  # (B, C, 1) channel-first edge case
+            g = g[:, :, 0]
+        return g
+
+    def upsample_conditioning(self, params, c, dtype=None):
+        """(B, T', cin) frame-rate conditioning -> (B, T, cin) sample-rate."""
+        if c is None or not self.upsample_conditional_features:
+            return c
+        if self.upsample_net == "ConvInUpsampleNetwork":
+            return conv_in_upsample_apply(
+                params["upsample"], c, self.upsample_scales, self.freq_axis_kernel_size, dtype=dtype
+            )
+        return upsample_network_apply(
+            params["upsample"],
+            c,
+            self.upsample_scales,
+            self.freq_axis_kernel_size,
+            cin_pad=self.cin_pad,
+            dtype=dtype,
+        )
+
+    def apply(
+        self,
+        params: dict,
+        x: jnp.ndarray,
+        c: jnp.ndarray | None = None,
+        g: jnp.ndarray | None = None,
+        *,
+        softmax: bool = False,
+        rng=None,
+        train: bool = False,
+        dtype=None,
+        upsampled: bool = False,
+    ) -> jnp.ndarray:
+        """Teacher-forced forward (``wavenet.py:164-216``).
+
+        x: (B, T, in_channels) one-hot or (B, T, 1) scalar input.
+        c: (B, T', cin) conditioning at frame rate (upsampled internally
+           unless ``upsampled``).
+        g: (B,) int speaker ids or (B, gin) features.
+        Returns logits/params (B, T, out_channels).
+        """
+        B, T = x.shape[0], x.shape[1]
+        g_feat = self._global_features(params, g)
+        if c is not None and not upsampled:
+            c = self.upsample_conditioning(params, c, dtype=dtype)
+            assert c.shape[1] == T, f"upsampled c {c.shape} vs x {x.shape}"
+
+        h = conv1d_apply(params["first"], x, dtype=dtype)
+        skips = 0.0
+        for i, lp in enumerate(params["layers"]):
+            if train and self.dropout > 0.0 and rng is not None:
+                rng, sub = jax.random.split(rng)
+            else:
+                sub = None
+            h, s = residual_glu_apply(
+                lp,
+                h,
+                c,
+                g_feat,
+                dilation=self.dilation(i),
+                dropout=self.dropout if train else 0.0,
+                rng=sub,
+                dtype=dtype,
+            )
+            skips = skips + s
+        skips = skips * math.sqrt(1.0 / self.layers)
+
+        out = jax.nn.relu(skips)
+        out = conv1d_apply(params["post1"], out, dtype=dtype)
+        out = jax.nn.relu(out)
+        out = conv1d_apply(params["post2"], out, dtype=dtype)
+        if softmax:
+            out = jax.nn.softmax(out, axis=-1)
+        return out
+
+    # ------------------------------------------------------------------
+    # AR decoding
+    # ------------------------------------------------------------------
+    def init_buffers(self, batch: int, dtype=jnp.float32) -> list:
+        """Zeroed circular buffers, one per layer + one for the 1x1 convs
+    (1x1s need no buffer). Layer i buffer: (B, (k-1)*d_i, residual)."""
+        return [
+            jnp.zeros(
+                (batch, glu_buffer_len(self.kernel_size, self.dilation(i)), self.residual_channels),
+                dtype,
+            )
+            for i in range(self.layers)
+        ]
+
+    def step(
+        self,
+        params: dict,
+        x_t: jnp.ndarray,
+        buffers: list,
+        t: jnp.ndarray,
+        ct: jnp.ndarray | None,
+        g_feat: jnp.ndarray | None,
+        dtype=None,
+    ):
+        """One network step: x_t (B, in_channels) -> logits (B, out), new
+        buffers. Mirrors the per-step stack of ``wavenet.py:310-322``."""
+        h = jnp.einsum(
+            "bc,cd->bd",
+            x_t,
+            _fold_1x1(params["first"], dtype),
+            preferred_element_type=jnp.float32,
+        ) + params["first"]["b"]
+        new_buffers = []
+        skips = 0.0
+        for i, lp in enumerate(params["layers"]):
+            h, s, nb = residual_glu_step(
+                lp,
+                h,
+                buffers[i],
+                t,
+                ct,
+                g_feat,
+                dilation=self.dilation(i),
+                kernel_size=self.kernel_size,
+                dtype=dtype,
+            )
+            new_buffers.append(nb)
+            skips = skips + s
+        skips = skips * math.sqrt(1.0 / self.layers)
+        out = jax.nn.relu(skips)
+        out = jnp.einsum(
+            "bc,cd->bd", out, _fold_1x1(params["post1"], dtype), preferred_element_type=jnp.float32
+        ) + params["post1"]["b"]
+        out = jax.nn.relu(out)
+        out = jnp.einsum(
+            "bc,cd->bd", out, _fold_1x1(params["post2"], dtype), preferred_element_type=jnp.float32
+        ) + params["post2"]["b"]
+        return out, new_buffers
+
+    def sample_output(self, key, logits, *, softmax=True, quantize=True, log_scale_min=-50.0):
+        """Map one step's logits (B, out) to the next input + the recorded
+        output (``wavenet.py:324-338``)."""
+        if self.scalar_input:
+            y = logits[:, None, :]  # (B, 1, C)
+            if self.output_distribution == "Logistic":
+                x = sample_from_discretized_mix_logistic(key, y, log_scale_min=log_scale_min)
+            elif self.output_distribution == "Normal":
+                x = sample_from_mix_gaussian(key, y, log_scale_min=log_scale_min)
+            else:
+                raise ValueError(self.output_distribution)
+            return x.reshape(-1, 1)  # (B, 1) next scalar input & output
+        probs = jax.nn.softmax(logits, axis=-1) if softmax else logits
+        if quantize:
+            idx = jax.random.categorical(key, jnp.log(jnp.maximum(probs, 1e-12)), axis=-1)
+            return jax.nn.one_hot(idx, self.out_channels, dtype=logits.dtype)
+        return probs
+
+    def decode(
+        self,
+        params: dict,
+        key,
+        T: int,
+        c: jnp.ndarray | None = None,
+        g: jnp.ndarray | None = None,
+        initial_input: jnp.ndarray | None = None,
+        test_inputs: jnp.ndarray | None = None,
+        *,
+        softmax: bool = True,
+        quantize: bool = True,
+        log_scale_min: float = -50.0,
+        dtype=None,
+        upsampled: bool = False,
+    ) -> jnp.ndarray:
+        """Autoregressive generation (``wavenet.py:218-346``) as one
+        ``lax.scan``; compiled once per (B, T) shape.
+
+        c: (B, T', cin) frame conditioning (upsampled internally unless
+        ``upsampled``); g: (B,) ids or (B, gin); test_inputs (B, T, C) runs
+        the buffered path teacher-forced (the reference's debug hook and our
+        equivalence test). Returns (B, T, out_channels) one-hot/probs, or
+        (B, T, 1) scalar samples.
+        """
+        if c is not None:
+            B = c.shape[0]
+        elif test_inputs is not None:
+            B = test_inputs.shape[0]
+        elif initial_input is not None:
+            B = initial_input.shape[0]
+        else:
+            B = 1
+        g_feat = self._global_features(params, g)
+        if c is not None and not upsampled:
+            c = self.upsample_conditioning(params, c, dtype=dtype)
+            assert c.shape[1] == T, f"upsampled c {c.shape} != T {T}"
+
+        if initial_input is None:
+            if self.scalar_input:
+                x0 = jnp.zeros((B, 1), jnp.float32)
+            else:
+                x0 = jax.nn.one_hot(
+                    jnp.full((B,), 127, jnp.int32), self.out_channels
+                )  # mu-law silence, wavenet.py:288
+        else:
+            x0 = initial_input.reshape(B, -1).astype(jnp.float32)
+
+        buffers = self.init_buffers(B, jnp.float32 if dtype is None else dtype)
+
+        c_s = None if c is None else jnp.swapaxes(c, 0, 1)  # (T, B, cin)
+        ti_s = None if test_inputs is None else jnp.swapaxes(test_inputs, 0, 1)
+
+        def body(carry, xs):
+            x_t, bufs, k = carry
+            t, ct, teach = xs
+            if teach is not None:
+                x_t = teach
+            logits, bufs = self.step(params, x_t, bufs, t, ct, g_feat, dtype=dtype)
+            k, sub = jax.random.split(k)
+            out = self.sample_output(
+                sub, logits, softmax=softmax, quantize=quantize, log_scale_min=log_scale_min
+            )
+            return (out.astype(x_t.dtype), bufs, k), out
+
+        xs = (jnp.arange(T), c_s, ti_s)
+        (_, _, _), ys = jax.lax.scan(body, (x0, buffers, key), xs, length=T)
+        return jnp.swapaxes(ys, 0, 1)  # (B, T, C)
+
+
+def _fold_1x1(p, dtype=None):
+    from wavenet_autoencoders_tpu.ops.conv import conv1d_weight
+
+    return conv1d_weight(p, dtype)[0]
+
+
+def fold_weight_norm(params):
+    """Fold every (g, v) weight-norm pair into a plain 'w' for inference —
+    the reference's ``make_generation_fast_`` (``wavenet.py:358-364``)."""
+    from wavenet_autoencoders_tpu.ops.conv import conv1d_weight
+
+    def fold(p):
+        if isinstance(p, dict):
+            if "v" in p and "g" in p:
+                q = {"w": conv1d_weight(p)}
+                if "b" in p:
+                    q["b"] = p["b"]
+                return q
+            return {k: fold(v) for k, v in p.items()}
+        if isinstance(p, list):
+            return [fold(v) for v in p]
+        return p
+
+    return fold(params)
