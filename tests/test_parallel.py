@@ -1,0 +1,117 @@
+"""Sharding tests on the simulated 8-device CPU mesh (SURVEY.md §4 plan)."""
+import jax
+import numpy as np
+import pytest
+
+from wavenet_autoencoders_tpu.models import build_model
+from wavenet_autoencoders_tpu.parallel import (
+    make_mesh,
+    param_sharding_tree,
+    shard_batch,
+    shard_state,
+)
+from wavenet_autoencoders_tpu.train import init_state, make_train_step
+
+from test_train import tiny_batch, tiny_cfg
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(None, data=8, model=1)
+    assert mesh.shape == {"data": 8, "model": 1}
+    mesh = make_mesh(None, data=4, model=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+
+
+def test_data_parallel_step_runs_sharded():
+    cfg = tiny_cfg()
+    mesh = make_mesh(cfg)  # data=8
+    model = build_model(cfg)
+    state = shard_state(init_state(cfg, model, jax.random.PRNGKey(0)), mesh)
+    step_fn = make_train_step(cfg, model, donate=False)
+    batch = shard_batch(tiny_batch(cfg, B=8), mesh)
+    new_state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    # batch really is split across devices
+    x = batch["x"]
+    assert len(x.sharding.device_set) == 8
+
+
+def test_dp_matches_single_device_numerics():
+    cfg = tiny_cfg()
+    model = build_model(cfg)
+    batch = tiny_batch(cfg, B=8)
+    rng = jax.random.PRNGKey(2)
+
+    state1 = init_state(cfg, model, jax.random.PRNGKey(0))
+    step_fn = make_train_step(cfg, model, donate=False)
+    _, m_single = step_fn(state1, batch, rng)
+
+    mesh = make_mesh(cfg)
+    state8 = shard_state(init_state(cfg, model, jax.random.PRNGKey(0)), mesh)
+    _, m_dp = step_fn(state8, shard_batch(batch, mesh), rng)
+
+    np.testing.assert_allclose(float(m_single["loss"]), float(m_dp["loss"]), rtol=2e-4)
+    np.testing.assert_allclose(
+        float(m_single["grad_norm"]), float(m_dp["grad_norm"]), rtol=2e-3
+    )
+
+
+def test_tensor_parallel_rules_and_step():
+    cfg = tiny_cfg(mesh_shape={"data": 4, "model": 2}, gate_channels=16)
+    mesh = make_mesh(cfg)
+    assert mesh.shape == {"data": 4, "model": 2}
+    model = build_model(cfg)
+    state = init_state(cfg, model, jax.random.PRNGKey(0))
+    shardings = param_sharding_tree(state.params, mesh)
+    # gate conv kernel sharded over model on its output-channel axis
+    spec = shardings["wavenet"]["layers"][0]["conv"]["v"].spec
+    assert spec == jax.sharding.PartitionSpec(None, None, "model")
+    state = shard_state(state, mesh)
+    step_fn = make_train_step(cfg, model, donate=False)
+    batch = shard_batch(tiny_batch(cfg, B=8), mesh)
+    new_state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_vq_ema_stats_are_global_under_dp():
+    """Codebook EMA counts must reflect the GLOBAL batch, not a per-shard
+    slice (SURVEY.md §7 hard parts)."""
+    cfg = tiny_cfg(ema=True, sliced=True)
+    model = build_model(cfg)
+    batch = tiny_batch(cfg, B=8)
+    rng = jax.random.PRNGKey(3)
+    step_fn = make_train_step(cfg, model, donate=False)
+
+    s1 = init_state(cfg, model, jax.random.PRNGKey(0))
+    n1, _ = step_fn(s1, batch, rng)
+
+    mesh = make_mesh(cfg)
+    s8 = shard_state(init_state(cfg, model, jax.random.PRNGKey(0)), mesh)
+    n8, _ = step_fn(s8, shard_batch(batch, mesh), rng)
+
+    np.testing.assert_allclose(
+        np.asarray(n1.model_state["vq"]["cluster_size"][0]),
+        np.asarray(n8.model_state["vq"]["cluster_size"][0]),
+        rtol=1e-4,
+    )
+
+
+def test_sharded_batched_decode():
+    """Batched AR synthesis sharded by utterance across the mesh
+    (SURVEY.md §2.6 last row)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = tiny_cfg()
+    mesh = make_mesh(cfg)
+    model = build_model(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    params = jax.device_put(params, NamedSharding(mesh, P()))
+    B, frames = 8, 4
+    ds = 100 // cfg.frame_rate
+    c = np.random.default_rng(0).standard_normal((B, frames * ds, cfg.dim_in)).astype(np.float32)
+    c = jax.device_put(c, NamedSharding(mesh, P("data")))
+    g = jax.device_put(np.arange(B, dtype=np.int32) % cfg.n_speakers, NamedSharding(mesh, P("data")))
+    T = frames * 4
+    y = model.decode(params, jax.random.PRNGKey(1), c, g=g, T=T, state=state)
+    assert y.shape == (B, T, cfg.out_channels)
+    assert np.isfinite(np.asarray(y)).all()

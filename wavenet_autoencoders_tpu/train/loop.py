@@ -1,0 +1,136 @@
+"""The training loop.
+
+Replaces ``train_loop`` / ``__main__`` of ``vqwae_train.py:801-875,
+1066-1149``: alternating train/dev phases, periodic checkpointing, stop at
+``max_train_steps``, KeyboardInterrupt checkpoints before exit, resolved
+config frozen into the checkpoint dir. Device placement/sharding comes from
+``parallel.mesh``; the step itself is the jitted function from
+``train.step``.
+"""
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from wavenet_autoencoders_tpu.config import Config
+from wavenet_autoencoders_tpu.data.dataset import WaveDataset, data_iterator
+from wavenet_autoencoders_tpu.models.zoo import build_model
+from wavenet_autoencoders_tpu.train.checkpoint import (
+    freeze_config,
+    load_checkpoint,
+    restore_parts,
+    save_checkpoint,
+)
+from wavenet_autoencoders_tpu.train.metrics import MetricsWriter
+from wavenet_autoencoders_tpu.train.step import (
+    init_state,
+    make_eval_step,
+    make_train_step,
+)
+
+
+def train(
+    cfg: Config,
+    dump_root: str,
+    checkpoint_dir: str,
+    *,
+    resume: str | None = None,
+    restore_parts_from: str | None = None,
+    reset_optimizer: bool = False,
+    feat_type: str = "mfcc",
+    max_steps: int | None = None,
+    log_every: int = 50,
+    dev_dump_root: str | None = None,
+    mesh=None,
+):
+    """Run training; returns the final TrainState."""
+    ckpt_dir = Path(checkpoint_dir)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    freeze_config(cfg, ckpt_dir)
+    writer = MetricsWriter(ckpt_dir / "logs")
+
+    model = build_model(cfg)
+    key = jax.random.PRNGKey(cfg.seed)
+    state = init_state(cfg, model, key)
+
+    if resume:
+        state = load_checkpoint(state, resume, reset_optimizer=reset_optimizer)
+        print(f"resumed from {resume} at step {int(state.step)}")
+    elif restore_parts_from:
+        state = state.__class__(
+            params=restore_parts(state.params, restore_parts_from),
+            opt_state=state.opt_state,
+            ema_params=state.ema_params,
+            model_state=state.model_state,
+            step=state.step,
+        )
+
+    if mesh is None:
+        from wavenet_autoencoders_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(cfg)
+    from wavenet_autoencoders_tpu.parallel.mesh import shard_batch, shard_state
+
+    state = shard_state(state, mesh)
+
+    step_fn = make_train_step(cfg, model)
+    eval_fn = make_eval_step(cfg, model)
+    rng = jax.random.PRNGKey(cfg.seed + 1)
+
+    train_ds = WaveDataset(dump_root, cfg, feat_type=feat_type)
+    dev_ds = None
+    if dev_dump_root is not None and Path(dev_dump_root, "train.txt").exists():
+        dev_ds = WaveDataset(dev_dump_root, cfg, feat_type=feat_type)
+
+    limit = max_steps if max_steps is not None else cfg.max_train_steps
+    it = data_iterator(train_ds, cfg)
+    t0, last_log_step = time.time(), int(state.step)
+    samples_per_batch = None
+    try:
+        for batch in it:
+            if int(state.step) >= limit:
+                break
+            batch = shard_batch(batch, mesh)
+            samples_per_batch = batch["x"].shape[0] * batch["x"].shape[1]
+            state, metrics = step_fn(state, batch, rng)
+            step = int(state.step)
+
+            if step % log_every == 0 or step == 1:
+                m = {k: float(v) for k, v in metrics.items()}
+                dt = time.time() - t0
+                sps = samples_per_batch * (step - last_log_step) / max(dt, 1e-9)
+                m["samples_per_sec"] = sps
+                writer.scalars(step, "train_no_dev", m)
+                print(
+                    f"step {step} loss {m['loss']:.4f} aux {m['aux_loss']:.4f} "
+                    f"perp {m['perplexity']:.1f} lr {m['lr']:.2e} {sps:,.0f} samp/s",
+                    flush=True,
+                )
+                t0, last_log_step = time.time(), step
+
+            if step > 0 and step % cfg.checkpoint_interval == 0:
+                save_checkpoint(state, ckpt_dir, save_optimizer_state=cfg.save_optimizer_state)
+                if dev_ds is not None:
+                    _run_dev(cfg, eval_fn, state, dev_ds, writer, step, rng)
+    except KeyboardInterrupt:
+        print("interrupted — saving checkpoint before exit")
+    save_checkpoint(state, ckpt_dir, save_optimizer_state=cfg.save_optimizer_state)
+    writer.close()
+    return state
+
+
+def _run_dev(cfg, eval_fn, state, dev_ds, writer, step, rng, max_batches: int = 10):
+    it = data_iterator(dev_ds, cfg, batch_size=cfg.dev_batch_size, prefetch=0, epochs=1)
+    acc, n = None, 0
+    for i, batch in enumerate(it):
+        if i >= max_batches:
+            break
+        m = eval_fn(state, batch, rng)
+        m = {k: float(v) for k, v in m.items()}
+        acc = m if acc is None else {k: acc[k] + m[k] for k in m}
+        n += 1
+    if n:
+        writer.scalars(step, "dev", {k: v / n for k, v in acc.items()})
