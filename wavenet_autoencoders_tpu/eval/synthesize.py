@@ -1,0 +1,175 @@
+"""Waveform synthesis / voice conversion (``synthesis.py`` parity).
+
+- ``wavegen``: generate one utterance from conditioning features
+  (``synthesis.py:295-396``) — but on TPU the AR loop is the jitted
+  ``lax.scan`` decode, not a per-sample Python loop.
+- ``batch_wavegen``: B utterances decoded in parallel
+  (``synthesis.py:236-280``) — the TPU-native fast path (the scan's
+  per-step matmuls grow from (1,C) to (B,C), filling the MXU).
+- ``run_synthesis_list``: the voice-conversion driver over
+  ``synthesis.txt`` pairs (source_utt, target_speaker) incl. the IN-model
+  ``tar_c`` AdaIN path and the ZeroSpeech output layout
+  ``dst/2019/<lan>/test/<V00x>_<fid>.wav`` (``synthesis.py:399-530``).
+"""
+from __future__ import annotations
+
+import json
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wavenet_autoencoders_tpu.config import Config
+from wavenet_autoencoders_tpu import dsp
+
+
+def _postprocess(cfg: Config, y_codes: np.ndarray) -> np.ndarray:
+    """Codes/scalars -> float waveform (``synthesis.py:382-396``)."""
+    mu = cfg.quantize_channels - 1
+    if cfg.is_mulaw_quantize:
+        wav = dsp.inv_mulaw_quantize(y_codes.astype(np.float32), mu)
+    elif cfg.is_mulaw:
+        wav = dsp.inv_mulaw(y_codes, mu)
+    else:
+        wav = y_codes
+    if cfg.postprocess == "inv_preemphasis":
+        wav = dsp.inv_preemphasis(wav, cfg.preemphasis_coef)
+    if cfg.global_gain_scale > 0:
+        wav = wav / cfg.global_gain_scale
+    return np.asarray(wav, np.float32)
+
+
+def _pad_frames(cfg: Config, c: np.ndarray) -> np.ndarray:
+    """Pad frame count to a multiple of 100//frame_rate
+    (``synthesis.py:486-490``)."""
+    div = 100 // cfg.frame_rate
+    if c.shape[0] % div != 0:
+        pad = div - (c.shape[0] % div)
+        c = np.pad(c, [(0, pad), (0, 0)], mode="constant")
+    return c
+
+
+def batch_wavegen(
+    cfg: Config,
+    model,
+    params,
+    state,
+    c: np.ndarray,
+    g: np.ndarray | None = None,
+    tar_c: np.ndarray | None = None,
+    key=None,
+) -> np.ndarray:
+    """c: (B, T', dim_in) feature frames -> (B, T) float waveforms."""
+    key = jax.random.PRNGKey(0) if key is None else key
+    c = _pad_frames_batch(cfg, c)
+    # latent frames * prod(upsample_scales) samples
+    ds = 100 // cfg.frame_rate
+    T = (c.shape[1] // ds) * int(np.prod(cfg.upsample_scales))
+    tar_j = None if tar_c is None else jnp.asarray(tar_c)
+    lat = model.encode(params, state, jnp.asarray(c), tar_c=tar_j)
+    if hasattr(model, "speaker_code"):
+        # NewINAE: continuous speaker code from the target utterance
+        # (or self, for reconstruction) replaces the id embedding
+        src = tar_j if tar_j is not None else jnp.asarray(c)
+        g = model.speaker_code(params, src)
+    y = model.wavenet.decode(
+        params["wavenet"],
+        key,
+        T,
+        c=lat,
+        g=None if g is None else jnp.asarray(g),
+        softmax=True,
+        quantize=True,
+        log_scale_min=cfg.log_scale_min,
+    )
+    y = np.asarray(y)
+    if cfg.is_mulaw_quantize:
+        codes = y.argmax(axis=-1)
+    else:
+        codes = y[..., 0]
+    return np.stack([_postprocess(cfg, codes[i]) for i in range(codes.shape[0])])
+
+
+def _pad_frames_batch(cfg, c):
+    if c.ndim == 2:
+        c = c[None]
+    div = 100 // cfg.frame_rate
+    if c.shape[1] % div != 0:
+        pad = div - (c.shape[1] % div)
+        c = np.pad(c, [(0, 0), (0, pad), (0, 0)], mode="constant")
+    return c
+
+
+def wavegen(
+    cfg: Config,
+    model,
+    params,
+    state,
+    c: np.ndarray,
+    g: int | None = None,
+    tar_c: np.ndarray | None = None,
+    key=None,
+) -> np.ndarray:
+    """Single-utterance generation; c: (T', dim_in). Returns (T,) float."""
+    g_arr = None if g is None else np.array([g], np.int32)
+    tc = None if tar_c is None else _pad_frames_batch(cfg, tar_c)
+    y = batch_wavegen(cfg, model, params, state, c[None], g_arr, tar_c=tc, key=key)
+    return y[0]
+
+
+def run_synthesis_list(
+    cfg: Config,
+    model,
+    params,
+    state,
+    dump_root: str,
+    syn_list_path: str,
+    speaker2ind_path: str,
+    dst_dir: str,
+    lan: str = "english",
+    start_ind: int = 0,
+    tar_utt_map: dict | None = None,
+    key=None,
+    batch: int = 4,
+):
+    """Voice-conversion loop (``synthesis.py:473-529``).
+
+    syn_list lines: "<utt_dir> <target_speaker>"; IN-family models
+    additionally load a fixed target-speaker utterance (tar_utt_map:
+    speaker -> mfcc.norm.npy path) for AdaIN re-styling
+    (``synthesis.py:500-519``).
+    """
+    lines = [l.strip() for l in open(syn_list_path) if l.strip()]
+    sp2ind = json.load(open(speaker2ind_path))
+    key = jax.random.PRNGKey(cfg.seed) if key is None else key
+    needs_tar = cfg.name.lower() in ("inae", "inae1", "new_inae")
+
+    out_dir = Path(dst_dir) / "2019" / lan / "test"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    written = []
+    for i in range(start_ind, len(lines)):
+        p, tar = lines[i].split()
+        if lan == "surprise":
+            p = "test/" + p
+        fid = p.split("_")[1] if "_" in p else p
+        feat_path = Path(dump_root) / p / "mfcc.norm.npy"
+        if not feat_path.exists():
+            raise FileNotFoundError(feat_path)
+        c = _pad_frames(cfg, np.load(feat_path))
+        if tar not in sp2ind:
+            raise KeyError(f"speaker {tar} not in {speaker2ind_path}")
+        spid = sp2ind[tar]
+        tar_c = None
+        if needs_tar:
+            if not tar_utt_map or tar not in tar_utt_map:
+                raise KeyError(f"IN-model synthesis needs a tar_c utterance for {tar}")
+            tar_c = np.load(tar_utt_map[tar])
+        key, sub = jax.random.split(key)
+        wav = wavegen(cfg, model, params, state, c, g=spid, tar_c=tar_c, key=sub)
+        dst = out_dir / f"{tar}_{fid}.wav"
+        dsp.save_wav(wav, dst, cfg.sample_rate)
+        written.append(str(dst))
+        print(f"ind {i} -> {dst}", flush=True)
+    return written

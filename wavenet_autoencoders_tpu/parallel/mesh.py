@@ -38,6 +38,23 @@ def make_mesh(cfg=None, devices=None, data: int | None = None, model: int = 1) -
     return Mesh(arr, ("data", "model"))
 
 
+def make_mesh_for_batch(cfg, batch_size: int, devices=None) -> Mesh:
+    """Mesh whose data axis divides the global batch (the reference had the
+    same constraint: batch % ngpu == 0, ``vqwae_train.py:753-754``). Uses
+    the largest divisor of batch_size that fits the device count; surplus
+    devices are left out of the mesh."""
+    devices = devices if devices is not None else jax.devices()
+    model = 1
+    if cfg is not None and getattr(cfg, "mesh_shape", None):
+        model = int(cfg.mesh_shape.get("model", 1) or 1)
+    avail = len(devices) // model
+    data = 1
+    for d in range(1, min(avail, batch_size) + 1):
+        if batch_size % d == 0:
+            data = d
+    return make_mesh(None, devices=devices[: data * model], data=data, model=model)
+
+
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
     """Shard every batch array over 'data' on its leading axis."""
     sh = NamedSharding(mesh, P("data"))

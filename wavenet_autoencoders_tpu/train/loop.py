@@ -69,9 +69,10 @@ def train(
         )
 
     if mesh is None:
-        from wavenet_autoencoders_tpu.parallel.mesh import make_mesh
+        from wavenet_autoencoders_tpu.parallel.mesh import make_mesh_for_batch
 
-        mesh = make_mesh(cfg)
+        mesh = make_mesh_for_batch(cfg, cfg.batch_size)
+        print(f"mesh: {dict(mesh.shape)} over {mesh.devices.size} devices")
     from wavenet_autoencoders_tpu.parallel.mesh import shard_batch, shard_state
 
     state = shard_state(state, mesh)
@@ -89,6 +90,7 @@ def train(
     it = data_iterator(train_ds, cfg)
     t0, last_log_step = time.time(), int(state.step)
     samples_per_batch = None
+    metrics = None
     try:
         for batch in it:
             if int(state.step) >= limit:
@@ -117,6 +119,8 @@ def train(
                     _run_dev(cfg, eval_fn, state, dev_ds, writer, step, rng)
     except KeyboardInterrupt:
         print("interrupted — saving checkpoint before exit")
+    if metrics is not None:
+        writer.scalars(int(state.step), "train_no_dev", {k: float(v) for k, v in metrics.items()})
     save_checkpoint(state, ckpt_dir, save_optimizer_state=cfg.save_optimizer_state)
     writer.close()
     return state
