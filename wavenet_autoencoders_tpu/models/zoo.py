@@ -128,4 +128,23 @@ def build_model(cfg: Config):
             slices=cfg.num_slices,
         )
 
+    # MFCC-only feature-space AEs (build_autoencoder_model,
+    # inference_2019.py:157-159): Model/Model2/Model4/CatAE with
+    # ctor (c_in=cfg.cin_channels, hid=64)
+    from wavenet_autoencoders_tpu.models.mfcc_ae import CatMfccAE, MfccAE
+
+    feat_ae = {"model": 1, "ae_feat": 1, "model2": 2, "ae2": 2, "model4": 4, "ae4": 4}
+    if name in feat_ae:
+        return MfccAE(c_in=cfg.cin_channels, hid=64, downsample=feat_ae[name])
+    if name in ("catae_feat", "cat_ae"):
+        return CatMfccAE(
+            c_in=cfg.cin_channels,
+            hid=64,
+            downsample=100 // cfg.frame_rate,
+            k=cfg.K,
+            tau=cfg.tau,
+            hard=cfg.hard,
+            slices=cfg.num_slices,
+        )
+
     raise ValueError(f"unknown model name: {cfg.name}")

@@ -81,9 +81,13 @@ def conv1d_apply(
     k = w.shape[0]
     if dtype is not None:
         x = x.astype(dtype)
+    # Under bf16, outputs stay bf16 (the MXU still accumulates f32
+    # internally); requesting f32 outputs breaks the conv VJP's dtype
+    # matching. The f32 path keeps explicit f32 accumulation.
+    acc = jnp.float32 if x.dtype == jnp.float32 else None
     if k == 1 and stride == 1:
         # 1x1 conv is a single MXU matmul
-        y = jnp.einsum("btc,cd->btd", x, w[0], preferred_element_type=jnp.float32)
+        y = jnp.einsum("btc,cd->btd", x, w[0], preferred_element_type=acc)
     else:
         if padding == "CAUSAL":
             pad = [((k - 1) * dilation, 0)]
@@ -101,7 +105,7 @@ def conv1d_apply(
             padding=pad,
             rhs_dilation=(dilation,),
             dimension_numbers=("NWC", "WIO", "NWC"),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=acc,
         )
     if "b" in params:
         y = y + params["b"][None, None, :]

@@ -48,6 +48,8 @@ def upsample_network_apply(
         x = x.astype(dtype)
     fpad = (freq_axis_kernel_size - 1) // 2
     for p, scale in zip(params["convs"], upsample_scales):
+        if dtype is not None:
+            x = x.astype(dtype)  # conv outputs accumulate in f32; recast
         x = jnp.repeat(x, scale, axis=3)  # nearest-neighbour time stretch
         v = p["v"]
         norm = jnp.sqrt(jnp.sum(v.astype(jnp.float32) ** 2))
@@ -60,7 +62,7 @@ def upsample_network_apply(
             window_strides=(1, 1),
             padding=[(fpad, fpad), (scale, scale)],
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else None,
         )
     out = x[:, 0].transpose(0, 2, 1)  # (B, T, C)
     total = int(np.prod(upsample_scales))

@@ -96,6 +96,12 @@ def _recon_loss(cfg: Config, y_hat, y, mask):
     raise ValueError(cfg.output_distribution)
 
 
+def _is_feature_ae(model) -> bool:
+    from wavenet_autoencoders_tpu.models.mfcc_ae import MfccAE
+
+    return isinstance(model, MfccAE)
+
+
 def _prep_x(cfg: Config, x):
     """Host batches carry compact waveforms (int codes (B,T) for
     mulaw-quantize, float (B,T) scalars otherwise); expand on device —
@@ -122,6 +128,8 @@ def make_train_step(cfg: Config, model, tx=None, donate: bool = True):
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
     ema_decay = cfg.ema_decay
 
+    feature_space = _is_feature_ae(model)
+
     def loss_fn(params, model_state, rng, batch):
         x = _prep_x(cfg, batch["x"])
         y_hat, aux, perp, new_model_state = model.forward(
@@ -134,8 +142,12 @@ def make_train_step(cfg: Config, model, tx=None, donate: bool = True):
             train=True,
             dtype=dtype,
         )
-        mask = sequence_mask(batch["lengths"], x.shape[1])[..., None]
-        recon = _recon_loss(cfg, y_hat.astype(jnp.float32), batch["y"], mask)
+        if feature_space:
+            # MFCC-only AEs reconstruct the features themselves (MSE)
+            recon = jnp.mean((y_hat.astype(jnp.float32) - batch["c"]) ** 2)
+        else:
+            mask = sequence_mask(batch["lengths"], x.shape[1])[..., None]
+            recon = _recon_loss(cfg, y_hat.astype(jnp.float32), batch["y"], mask)
         loss = recon + aux
         return loss, (recon, aux, perp, new_model_state)
 
