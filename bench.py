@@ -23,9 +23,13 @@ metric.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+# compiles through the axon tunnel are slow (~2 min each); persist them
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 REF_SYNTH_AUDIO_SEC_PER_SEC = 150.0 / 16000.0  # reference AR python loop
 

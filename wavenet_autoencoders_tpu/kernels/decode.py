@@ -1,0 +1,293 @@
+"""Fused WaveNet AR sampling loop — one Pallas kernel for the whole decode.
+
+The reference generates sample-by-sample from Python
+(``wavenet.py:299-339``; minutes per utterance). The scan-based
+``WaveNet.decode`` already moves the loop on-device; this kernel goes
+further: ``grid=(T,)`` executes sequentially on a TPU core, so
+
+- every layer weight is loaded to VMEM ONCE and stays resident across all
+  T steps (the scan path re-reads weights from HBM every step — the AR
+  decode's actual bottleneck: ~16 MB of weights per step vs ~100 kB of
+  activations);
+- the per-layer ring buffers live in VMEM scratch, persist across grid
+  steps, and are updated in place (O(1) per step, no copies);
+- conditioning frames are auto-pipelined into VMEM by the BlockSpec
+  index_map (double-buffered DMA);
+- the mu-law categorical sampling (Gumbel-argmax over the softmax) runs
+  in-kernel on the TPU PRNG, so there is zero host↔device traffic and
+  zero per-step dispatch.
+
+Scope: the mu-law-quantize path every bundled preset uses (one-hot input ==
+row-gather of the input 1x1; kernel_size 3). Teacher-forcing mode feeds
+ground-truth codes instead of samples — the equivalence test against the
+batch forward, same as the reference's ``test_inputs`` hook
+(``wavenet.py:249``).
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from wavenet_autoencoders_tpu.ops.conv import conv1d_weight
+
+
+def pack_decode_weights(net, params: dict, dtype=jnp.float32) -> dict:
+    """Stack the WaveNet params into per-layer arrays for the kernel.
+
+    Returns dict of arrays:
+      w1 (Cin_model, C), b1 (C);
+      wconv (L, 3, C, G), bconv (L, G); wc (L, cin, G);
+      wout (L, G2, C), bout (L, C); wskip (L, G2, S), bskip (L, S);
+      wp1 (S, S), bp1 (S); wp2 (S, O), bp2 (O)
+    """
+    L = net.layers
+
+    def w(p):
+        return conv1d_weight(p).astype(dtype)
+
+    packed = {
+        "w1": w(params["first"])[0],
+        "b1": params["first"]["b"].astype(dtype),
+        "wconv": jnp.stack([w(params["layers"][i]["conv"]) for i in range(L)]),
+        "bconv": jnp.stack([params["layers"][i]["conv"]["b"].astype(dtype) for i in range(L)]),
+        "wout": jnp.stack([w(params["layers"][i]["out"])[0] for i in range(L)]),
+        "bout": jnp.stack([params["layers"][i]["out"]["b"].astype(dtype) for i in range(L)]),
+        "wskip": jnp.stack([w(params["layers"][i]["skip"])[0] for i in range(L)]),
+        "bskip": jnp.stack([params["layers"][i]["skip"]["b"].astype(dtype) for i in range(L)]),
+        "wp1": w(params["post1"])[0],
+        "bp1": params["post1"]["b"].astype(dtype),
+        "wp2": w(params["post2"])[0],
+        "bp2": params["post2"]["b"].astype(dtype),
+    }
+    if "cproj" in params["layers"][0]:
+        packed["wc"] = jnp.stack([w(params["layers"][i]["cproj"])[0] for i in range(L)])
+    return packed
+
+
+def _mk_kernel(net, B, T, teacher: bool, has_c: bool, has_g: bool, acc=jnp.float32):
+    L = net.layers
+    C = net.residual_channels
+    G = net.gate_channels
+    G2 = G // 2
+    S = net.skip_out_channels
+    O = net.out_channels
+    k = net.kernel_size
+    assert k == 3, "kernel specialized for kernel_size=3 (all presets)"
+    dils = [net.dilation(i) for i in range(L)]
+    skip_scale = math.sqrt(1.0 / L)
+    res_scale = math.sqrt(0.5)
+
+    def kernel(*refs):
+        i = 0
+        w1_ref = refs[i]; i += 1
+        b1_ref = refs[i]; i += 1
+        wconv_ref = refs[i]; i += 1
+        bconv_ref = refs[i]; i += 1
+        wout_ref = refs[i]; i += 1
+        bout_ref = refs[i]; i += 1
+        wskip_ref = refs[i]; i += 1
+        bskip_ref = refs[i]; i += 1
+        wp1_ref = refs[i]; i += 1
+        bp1_ref = refs[i]; i += 1
+        wp2_ref = refs[i]; i += 1
+        bp2_ref = refs[i]; i += 1
+        if has_c:
+            wc_ref = refs[i]; i += 1
+            ct_ref = refs[i]; i += 1          # (1, B, cin) block at step t
+        if has_g:
+            gadd_ref = refs[i]; i += 1        # (L, B, G) precomputed
+        seed_ref = refs[i]; i += 1            # (1,) int32 in SMEM
+        if teacher:
+            teach_ref = refs[i]; i += 1       # (1, B) int32 block at step t
+        codes_ref = refs[i]; i += 1           # out: (1, B) int32
+        logits_ref = refs[i]; i += 1          # out: (1, B, O)
+        bufs = refs[i : i + L]                # scratch: (2*d_l, B, C) each
+        prev_ref = refs[i + L]                # scratch: (B, O) one-hot prev
+
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            pltpu.prng_seed(seed_ref[0])
+            # mu-law silence code 127 as initial input (wavenet.py:288)
+            init = jnp.zeros((B, O), acc)
+            prev_ref[:] = init.at[:, 127].set(1.0)
+            for l in range(L):
+                bufs[l][:] = jnp.zeros_like(bufs[l])
+
+        if teacher:
+            x_onehot = jax.nn.one_hot(teach_ref[0, :], O, dtype=acc)  # (B, O)
+        else:
+            x_onehot = prev_ref[:]
+
+        # first 1x1: one-hot @ W1  (row gather via matmul — MXU friendly)
+        h = jnp.dot(x_onehot, w1_ref[:], preferred_element_type=acc) + b1_ref[:][None, :]
+
+        skip_acc = jnp.zeros((B, S), acc)
+        for l in range(L):
+            d = dils[l]
+            Lbuf = 2 * d
+            h_in = h
+            # taps: x(t-2d) at slot t mod 2d (about to be overwritten),
+            # x(t-d) at slot (t-d) mod 2d
+            s0 = jax.lax.rem(t, Lbuf)
+            s1 = jax.lax.rem(t + d, Lbuf)  # (t - d) mod 2d == (t + d) mod 2d
+            tap0 = bufs[l][pl.ds(s0, 1), :, :][0]
+            tap1 = bufs[l][pl.ds(s1, 1), :, :][0]
+            ab = (
+                jnp.dot(tap0, wconv_ref[l, 0], preferred_element_type=acc)
+                + jnp.dot(tap1, wconv_ref[l, 1], preferred_element_type=acc)
+                + jnp.dot(h_in, wconv_ref[l, 2], preferred_element_type=acc)
+                + bconv_ref[l][None, :]
+            )
+            if has_c:
+                ab = ab + jnp.dot(ct_ref[0], wc_ref[l], preferred_element_type=acc)
+            if has_g:
+                ab = ab + gadd_ref[l]
+            act = jnp.tanh(ab[:, :G2]) * jax.nn.sigmoid(ab[:, G2:])
+            skip_acc = skip_acc + (
+                jnp.dot(act, wskip_ref[l], preferred_element_type=acc) + bskip_ref[l][None, :]
+            )
+            out = jnp.dot(act, wout_ref[l], preferred_element_type=acc) + bout_ref[l][None, :]
+            # write current input into its slot (read-before-write done)
+            bufs[l][pl.ds(s0, 1), :, :] = h_in[None].astype(bufs[l].dtype)
+            h = (out + h_in) * res_scale
+
+        x = jax.nn.relu(skip_acc * skip_scale)
+        x = jax.nn.relu(jnp.dot(x, wp1_ref[:], preferred_element_type=acc) + bp1_ref[:][None, :])
+        logits = jnp.dot(x, wp2_ref[:], preferred_element_type=acc) + bp2_ref[:][None, :]
+        logits_ref[0] = logits
+
+        # categorical sample via Gumbel-argmax over logits
+        bits = pltpu.prng_random_bits((B, O))
+        u = bits.astype(jnp.float32) * (1.0 / 4294967296.0) + 0.5  # [0,1)
+        u = jnp.clip(u, 1e-7, 1.0 - 1e-7)
+        gumbel = -jnp.log(-jnp.log(u))
+        idx = jnp.argmax(jax.nn.log_softmax(logits, axis=-1) + gumbel, axis=-1).astype(jnp.int32)
+        codes_ref[0] = idx
+        prev_ref[:] = jax.nn.one_hot(idx, O, dtype=acc)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("net", "T", "teacher", "interpret", "dtype_str"),
+)
+def wavenet_decode_pallas(
+    net,
+    packed: dict,
+    T: int,
+    seed,
+    c_up: jnp.ndarray | None = None,
+    g_add: jnp.ndarray | None = None,
+    teach: jnp.ndarray | None = None,
+    teacher: bool = False,
+    interpret: bool = False,
+    dtype_str: str = "float32",
+):
+    """Run the fused decode. Args:
+
+    packed: from :func:`pack_decode_weights`.
+    c_up: (B, T, cin) upsampled conditioning (or None).
+    g_add: (L, B, G) precomputed per-layer global-conditioning addends.
+    teach: (B, T) int codes when teacher (forced inputs).
+    Returns (codes (B, T) int32, logits (B, T, O)).
+    """
+    acc = jnp.float32
+    has_c = c_up is not None
+    has_g = g_add is not None
+    if has_c:
+        B = c_up.shape[0]
+    elif teach is not None:
+        B = teach.shape[0]
+    else:
+        B = 1
+    L, C = net.layers, net.residual_channels
+    O = net.out_channels
+
+    kernel = _mk_kernel(net, B, T, teacher, has_c, has_g, acc)
+
+    def resident(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda t: (0,) * nd, memory_space=pltpu.VMEM)
+
+    in_specs = [
+        resident(packed["w1"].shape),
+        resident(packed["b1"].shape),
+        resident(packed["wconv"].shape),
+        resident(packed["bconv"].shape),
+        resident(packed["wout"].shape),
+        resident(packed["bout"].shape),
+        resident(packed["wskip"].shape),
+        resident(packed["bskip"].shape),
+        resident(packed["wp1"].shape),
+        resident(packed["bp1"].shape),
+        resident(packed["wp2"].shape),
+        resident(packed["bp2"].shape),
+    ]
+    inputs = [
+        packed["w1"], packed["b1"], packed["wconv"], packed["bconv"],
+        packed["wout"], packed["bout"], packed["wskip"], packed["bskip"],
+        packed["wp1"], packed["bp1"], packed["wp2"], packed["bp2"],
+    ]
+    if has_c:
+        in_specs.append(resident(packed["wc"].shape))
+        inputs.append(packed["wc"])
+        cin = c_up.shape[-1]
+        c_t = jnp.swapaxes(c_up, 0, 1).astype(acc)  # (T, B, cin)
+        in_specs.append(
+            pl.BlockSpec((1, B, cin), lambda t: (t, 0, 0), memory_space=pltpu.VMEM)
+        )
+        inputs.append(c_t)
+    if has_g:
+        in_specs.append(resident(g_add.shape))
+        inputs.append(g_add.astype(acc))
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    inputs.append(jnp.asarray(seed, jnp.int32).reshape(1))
+    if teacher:
+        assert teach is not None
+        in_specs.append(pl.BlockSpec((1, B), lambda t: (t, 0), memory_space=pltpu.VMEM))
+        inputs.append(jnp.swapaxes(teach.astype(jnp.int32), 0, 1))
+
+    scratch = [
+        pltpu.VMEM((2 * net.dilation(i), B, C), acc) for i in range(L)
+    ] + [pltpu.VMEM((B, O), acc)]
+
+    codes, logits = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, B), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, O), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B), jnp.int32),
+            jax.ShapeDtypeStruct((T, B, O), acc),
+        ),
+        scratch_shapes=scratch,
+        # plain HLO interpret lacks the TPU PRNG primitives; use the TPU
+        # interpreter for CPU tests
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(*inputs)
+    return jnp.swapaxes(codes, 0, 1), jnp.swapaxes(logits, 0, 1)
+
+
+def precompute_g_add(net, params: dict, g) -> jnp.ndarray | None:
+    """(L, B, G): per-layer global-conditioning addends — constant over
+    time, so computed once outside the kernel."""
+    if g is None or net.gin_channels <= 0:
+        return None
+    g_feat = net._global_features(params, jnp.asarray(g))
+    adds = []
+    for i in range(net.layers):
+        wg = conv1d_weight(params["layers"][i]["gproj"])[0]
+        adds.append(jnp.dot(g_feat, wg))
+    return jnp.stack(adds)
