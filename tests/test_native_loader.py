@@ -1,0 +1,113 @@
+"""C++ data loader vs the Python collate semantics."""
+import numpy as np
+import pytest
+
+from wavenet_autoencoders_tpu.data import native
+
+
+@pytest.fixture(scope="module")
+def lib_ok():
+    if not native.available():
+        pytest.skip("native loader could not be built")
+    return True
+
+
+@pytest.fixture()
+def dump(tmp_path):
+    rng = np.random.default_rng(0)
+    hop, N, D = 4, 64, 7
+    items = []
+    for i in range(3):
+        wave = rng.integers(0, 256, N * hop).astype(np.int16)
+        feat = rng.standard_normal((N, D)).astype(np.float32)
+        wp = tmp_path / f"u{i}_wave.npy"
+        fp = tmp_path / f"u{i}_mfcc.npy"
+        np.save(wp, wave)
+        np.save(fp, feat)
+        items.append((str(wp), str(fp), wave, feat))
+    return {"items": items, "hop": hop, "N": N, "D": D}
+
+
+def test_npy_shape(lib_ok, dump):
+    wp, fp, wave, feat = dump["items"][0]
+    assert native.npy_shape(wp) == (len(wave), 1)
+    assert native.npy_shape(fp) == feat.shape
+
+
+def test_batch_crop_alignment(lib_ok, dump):
+    hop, D = dump["hop"], dump["D"]
+    max_steps = 8 * hop
+    waves = [it[0] for it in dump["items"]]
+    feats = [it[1] for it in dump["items"]]
+    x, c = native.load_batch_native(waves, feats, max_steps, hop, 0, D, seed=123)
+    assert x.shape == (3, max_steps) and c.shape == (3, 8, D)
+    # each crop must be wave[s*hop : s*hop+max_steps] aligned with
+    # feat[s : s+8] for some s
+    for b, (_wp, _fp, wave, feat) in enumerate(dump["items"]):
+        found = False
+        for s in range(dump["N"] - 8 + 1):
+            if np.array_equal(x[b], wave[s * hop : s * hop + max_steps]):
+                np.testing.assert_allclose(c[b], feat[s : s + 8])
+                found = True
+                break
+        assert found, f"crop {b} not a valid aligned window"
+
+
+def test_batch_crop_cin_pad(lib_ok, dump):
+    hop, D = dump["hop"], dump["D"]
+    max_steps = 8 * hop
+    cin_pad = 2
+    waves = [it[0] for it in dump["items"]]
+    feats = [it[1] for it in dump["items"]]
+    x, c = native.load_batch_native(waves, feats, max_steps, hop, cin_pad, D, seed=5)
+    assert c.shape == (3, 8 + 2 * cin_pad, D)
+    for b, (_wp, _fp, wave, feat) in enumerate(dump["items"]):
+        found = False
+        for s in range(cin_pad, dump["N"] - 8 - cin_pad + 1):
+            if np.array_equal(x[b], wave[s * hop : s * hop + max_steps]):
+                np.testing.assert_allclose(c[b], feat[s - cin_pad : s + 8 + cin_pad])
+                found = True
+                break
+        assert found
+
+
+def test_deterministic_per_seed(lib_ok, dump):
+    hop, D = dump["hop"], dump["D"]
+    waves = [it[0] for it in dump["items"]]
+    feats = [it[1] for it in dump["items"]]
+    x1, c1 = native.load_batch_native(waves, feats, 16, hop, 0, D, seed=42)
+    x2, c2 = native.load_batch_native(waves, feats, 16, hop, 0, D, seed=42)
+    np.testing.assert_array_equal(x1, x2)
+    # different items get different (decorrelated) crops
+    x3, _ = native.load_batch_native(waves, feats, 16, hop, 0, D, seed=43)
+    assert not np.array_equal(x1, x3)
+
+
+def test_iterator_uses_native(lib_ok, tmp_path):
+    """data_iterator with the native path produces valid aligned batches."""
+    from wavenet_autoencoders_tpu.config import load_preset
+    from wavenet_autoencoders_tpu.data.dataset import WaveDataset, data_iterator
+    from wavenet_autoencoders_tpu.data.manifest import write_manifest
+
+    rng = np.random.default_rng(1)
+    hop = 160
+    cfg = load_preset("vqwae", "max_time_steps=1280,batch_size=2,gin_channels=-1")
+    rows = []
+    for i in range(4):
+        N = 16 + 4 * i
+        d = tmp_path / f"u{i}"
+        d.mkdir()
+        prefix = str(d) + "/"
+        np.save(prefix + "wave.npy", rng.integers(0, 256, N * hop).astype(np.int16))
+        np.save(prefix + "mfcc.norm.npy", rng.standard_normal((N, 39)).astype(np.float32))
+        rows.append((prefix, N, -1, "x"))
+    write_manifest(rows, tmp_path)
+    ds = WaveDataset(str(tmp_path), cfg)
+    it = data_iterator(ds, cfg, prefetch=0, epochs=1)
+    n = 0
+    for b in it:
+        assert b["x"].shape == (2, 1280)
+        assert b["c"].shape == (2, 8, 39)
+        assert b["x"].dtype == np.int32
+        n += 1
+    assert n == 2

@@ -186,6 +186,39 @@ class Collator:
         return int(mulaw_quantize(0, self.cfg.quantize_channels - 1))
 
 
+def _native_batch(dataset: WaveDataset, cfg: Config, idxs, collate: Collator, seed: int):
+    """Assemble one batch through the C++ loader (mmap + parallel crop);
+    returns None if unavailable so the caller falls back to Python."""
+    from wavenet_autoencoders_tpu.data import native
+
+    if not cfg.is_mulaw_quantize or not native.available():
+        return None
+    utts = [dataset.utterances[i] for i in idxs]
+    out = native.load_batch_native(
+        [u.path("wave") for u in utts],
+        [u.path(dataset.feat_type, norm=dataset.norm) for u in utts],
+        collate.max_steps,
+        cfg.get_hop_size(),
+        cfg.cin_pad,
+        cfg.dim_in if dataset.feat_type == "mfcc" else cfg.num_mels,
+        seed,
+    )
+    if out is None:
+        return None
+    x, c = out
+    batch = {
+        "x": x,
+        "y": x[..., None],
+        "c": c,
+        "lengths": np.full((len(utts),), collate.max_steps, np.int32),
+    }
+    if cfg.gin_channels > 0:
+        batch["g"] = np.array(
+            [(-1 if not dataset.multi_speaker else u.speaker_id) for u in utts], np.int32
+        )
+    return batch
+
+
 def data_iterator(
     dataset: WaveDataset,
     cfg: Config,
@@ -193,21 +226,31 @@ def data_iterator(
     seed: int = 0,
     prefetch: int = 2,
     epochs: int | None = None,
+    use_native: bool = True,
 ):
     """Yield collated batches forever (or for ``epochs``), with background
-    prefetching."""
+    prefetching. Uses the C++ mmap loader when available."""
     bs = batch_size or cfg.batch_size
     sampler = LengthBucketSampler(dataset.lengths, bs, seed=seed)
     collate = Collator(cfg, seed=seed)
 
     def gen():
         epoch = 0
+        step = 0
         while epochs is None or epoch < epochs:
             buf = []
             for idx in sampler:
-                buf.append(dataset[idx])
+                buf.append(idx)
                 if len(buf) == bs:
-                    yield collate(buf)
+                    step += 1
+                    b = (
+                        _native_batch(dataset, cfg, buf, collate, seed + step * 7919)
+                        if use_native
+                        else None
+                    )
+                    if b is None:
+                        b = collate([dataset[i] for i in buf])
+                    yield b
                     buf = []
             epoch += 1
 

@@ -51,6 +51,16 @@ def _pad_frames(cfg: Config, c: np.ndarray) -> np.ndarray:
     return c
 
 
+def _use_pallas_decode(cfg: Config) -> bool:
+    """The fused decode kernel covers the mu-law path on real TPUs."""
+    if not cfg.is_mulaw_quantize or cfg.kernel_size != 3:
+        return False
+    if str(cfg.extras.get("use_pallas_decode", "auto")) == "never":
+        return False
+    platform = jax.devices()[0].platform
+    return platform not in ("cpu", "gpu")
+
+
 def batch_wavegen(
     cfg: Config,
     model,
@@ -74,21 +84,28 @@ def batch_wavegen(
         # (or self, for reconstruction) replaces the id embedding
         src = tar_j if tar_j is not None else jnp.asarray(c)
         g = model.speaker_code(params, src)
-    y = model.wavenet.decode(
-        params["wavenet"],
-        key,
-        T,
-        c=lat,
-        g=None if g is None else jnp.asarray(g),
-        softmax=True,
-        quantize=True,
-        log_scale_min=cfg.log_scale_min,
-    )
-    y = np.asarray(y)
-    if cfg.is_mulaw_quantize:
-        codes = y.argmax(axis=-1)
+    g = None if g is None else jnp.asarray(g)
+    if _use_pallas_decode(cfg):
+        codes, _logits = model.wavenet.decode_pallas(
+            params["wavenet"], key, T, c=lat, g=g
+        )
+        codes = np.asarray(codes)
     else:
-        codes = y[..., 0]
+        y = model.wavenet.decode(
+            params["wavenet"],
+            key,
+            T,
+            c=lat,
+            g=g,
+            softmax=True,
+            quantize=True,
+            log_scale_min=cfg.log_scale_min,
+        )
+        y = np.asarray(y)
+        if cfg.is_mulaw_quantize:
+            codes = y.argmax(axis=-1)
+        else:
+            codes = y[..., 0]
     return np.stack([_postprocess(cfg, codes[i]) for i in range(codes.shape[0])])
 
 

@@ -369,6 +369,39 @@ class WaveNet:
         return jnp.swapaxes(ys, 0, 1)  # (B, T, C)
 
 
+    def decode_pallas(
+        self,
+        params: dict,
+        key,
+        T: int,
+        c: jnp.ndarray | None = None,
+        g: jnp.ndarray | None = None,
+        *,
+        upsampled: bool = False,
+        interpret: bool = False,
+    ):
+        """Fused-kernel AR generation (kernels/decode.py): the whole
+        sampling loop in one Pallas call with VMEM-resident weights.
+        mu-law-quantize path only; returns (codes (B,T) int32,
+        logits (B,T,O))."""
+        from wavenet_autoencoders_tpu.kernels.decode import (
+            pack_decode_weights,
+            precompute_g_add,
+            wavenet_decode_pallas,
+        )
+
+        assert not self.scalar_input, "pallas decode covers the mu-law path"
+        if c is not None and not upsampled:
+            c = self.upsample_conditioning(params, c)
+            assert c.shape[1] == T
+        packed = pack_decode_weights(self, params)
+        g_add = precompute_g_add(self, params, g)
+        seed = jax.random.randint(key, (), 0, 2**31 - 1)
+        return wavenet_decode_pallas(
+            self, packed, T, seed, c_up=c, g_add=g_add, interpret=interpret
+        )
+
+
 def _fold_1x1(p, dtype=None):
     from wavenet_autoencoders_tpu.ops.conv import conv1d_weight
 
