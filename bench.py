@@ -1,24 +1,23 @@
 """Benchmark harness — run on the real TPU chip.
 
 Measures the two headline numbers BASELINE.md says must be established
-(the reference publishes quality only; its AR loop is anecdotally minutes
-per utterance):
+(the reference publishes quality only):
 
 1. teacher-forced training throughput, waveform samples/sec/chip, on the
-   flagship SVQ-WAE at preset shapes (20 layers / 256 ch / 5120-sample
+   flagship SVQ-WAE at preset shapes (20 layers / 256+368 ch / 5120-sample
    crops, batch 40 — hps/vqwae.json schedule);
-2. batched AR synthesis throughput, audio-seconds/sec/chip (jitted
-   lax.scan decode, batch-parallel utterances).
+2. batched AR synthesis throughput, audio-seconds/sec/chip via the fused
+   Pallas decode kernel (kernels/decode.py: whole sampling loop in one
+   sequential-grid kernel, weights VMEM-resident).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
+Timing methodology: the experimental axon platform's block_until_ready can
+return early, so every measurement forces a scalar host transfer.
 
-vs_baseline: the reference's synthesis loop runs its per-sample Python
-loop at roughly 100-200 samples/sec on a GPU host (wavenet.py:299 —
-~2 minutes per second of 16 kHz audio, widely reproduced for r9y9
-wavenet_vocoder); we use 150 samples/sec => 0.009 audio-sec/s as the
-baseline for the synthesis ratio, and report the ratio on the synthesis
-metric.
+Prints ONE JSON line. vs_baseline is the AR-synthesis speedup over the
+reference's per-sample Python loop (~150 samples/sec on GPU hosts for
+r9y9-style incremental_forward, i.e. ~0.009 audio-sec/sec — the loop at
+wavenet.py:299-339; the reference publishes no number, this is the widely
+reproduced order of magnitude).
 """
 from __future__ import annotations
 
@@ -28,26 +27,32 @@ import time
 
 import numpy as np
 
-# compiles through the axon tunnel are slow (~2 min each); persist them
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+import jax  # noqa: E402
 
-REF_SYNTH_AUDIO_SEC_PER_SEC = 150.0 / 16000.0  # reference AR python loop
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+REF_SYNTH_AUDIO_SEC_PER_SEC = 150.0 / 16000.0
+
+
+def _sync(x) -> float:
+    return float(np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[0])
 
 
 def main():
-    import jax
+    import jax.numpy as jnp
 
     from wavenet_autoencoders_tpu.config import load_preset
     from wavenet_autoencoders_tpu.models.zoo import build_model
     from wavenet_autoencoders_tpu.train.step import init_state, make_train_step
 
     dev = jax.devices()[0]
-    platform = dev.platform
-
     cfg = load_preset("svqwae", "batch_size=40,compute_dtype=bfloat16")
     model = build_model(cfg)
     state = init_state(cfg, model, jax.random.PRNGKey(0))
-    step_fn = make_train_step(cfg, model)
+    step_fn = make_train_step(cfg, model, donate=False)
 
     B, T = cfg.batch_size, cfg.max_time_steps
     frames = T // cfg.get_hop_size()
@@ -61,58 +66,58 @@ def main():
     }
     batch = {k: jax.device_put(v, dev) for k, v in batch.items()}
 
-    # ---- train throughput ----
-    state, m = step_fn(state, batch, jax.random.PRNGKey(1))  # compile
-    jax.block_until_ready(m["loss"])
-    n_steps = 20
+    # ---- train throughput (sync every step) ----
+    state, m = step_fn(state, batch, jax.random.PRNGKey(1))
+    _sync(m["loss"])
+    n_steps = 10
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, m = step_fn(state, batch, jax.random.PRNGKey(1))
-    jax.block_until_ready(m["loss"])
-    dt = time.perf_counter() - t0
-    train_sps = B * T * n_steps / dt
+        _sync(m["loss"])
+    dt_step = (time.perf_counter() - t0) / n_steps
+    train_sps = B * T / dt_step
 
-    # ---- AR synthesis throughput ----
-    from functools import partial
-
-    params = state.params
-    Bs, syn_frames = 16, 8  # 16 utterances x (8 latent frames * 640) samples
-    lat = np.asarray(
-        rng.standard_normal((Bs, syn_frames, cfg.cin_channels)), np.float32
+    # ---- AR synthesis throughput: fused Pallas decode ----
+    from wavenet_autoencoders_tpu.kernels.decode import (
+        pack_decode_weights,
+        precompute_g_add,
+        wavenet_decode_pallas,
     )
-    g = (np.arange(Bs) % cfg.n_speakers).astype(np.int32)
-    Ts = syn_frames * int(np.prod(cfg.upsample_scales))
 
-    decode = jax.jit(
-        lambda p, k, c, g: model.wavenet.decode(
-            p["wavenet"], k, Ts, c=c, g=g, log_scale_min=cfg.log_scale_min,
-            dtype=None,
-        )
-    )
-    y = decode(params, jax.random.PRNGKey(2), lat, g)
-    jax.block_until_ready(y)
+    net = model.wavenet
+    params = state.params["wavenet"]
+    Bs, Ts = 16, 5120
+    lat = jnp.asarray(rng.standard_normal((Bs, Ts // 640, cfg.cin_channels)), jnp.float32)
+    g = jnp.asarray(np.arange(Bs) % cfg.n_speakers, jnp.int32)
+    c_up = net.upsample_conditioning(params, lat)
+    packed = pack_decode_weights(net, params)
+    g_add = precompute_g_add(net, params, g)
+
+    codes, _ = wavenet_decode_pallas(net, packed, Ts, 0, c_up=c_up, g_add=g_add)
+    _sync(codes)
     reps = 3
     t0 = time.perf_counter()
     for i in range(reps):
-        y = decode(params, jax.random.PRNGKey(3 + i), lat, g)
-    jax.block_until_ready(y)
-    dts = (time.perf_counter() - t0) / reps
-    synth_audio_sec_per_sec = Bs * Ts / cfg.sample_rate / dts
+        codes, _ = wavenet_decode_pallas(net, packed, Ts, i, c_up=c_up, g_add=g_add)
+        _sync(codes)
+    dt_dec = (time.perf_counter() - t0) / reps
+    synth_aps = Bs * Ts / cfg.sample_rate / dt_dec
 
     result = {
-        "metric": "svqwae_train_samples_per_sec_per_chip",
-        "value": round(train_sps, 1),
-        "unit": "waveform samples/sec",
-        "vs_baseline": round(synth_audio_sec_per_sec / REF_SYNTH_AUDIO_SEC_PER_SEC, 1),
+        "metric": "svqwae_synthesis_audio_sec_per_sec_per_chip",
+        "value": round(synth_aps, 2),
+        "unit": "audio-seconds generated per second",
+        "vs_baseline": round(synth_aps / REF_SYNTH_AUDIO_SEC_PER_SEC, 1),
         "extra": {
-            "platform": platform,
+            "platform": dev.platform,
+            "train_samples_per_sec_per_chip": round(train_sps, 1),
+            "train_step_ms": round(dt_step * 1e3, 1),
             "train_batch": B,
             "train_crop": T,
-            "train_steps_per_sec": round(n_steps / dt, 3),
-            "synth_audio_sec_per_sec_per_chip": round(synth_audio_sec_per_sec, 3),
             "synth_batch": Bs,
-            "synth_samples": Ts,
-            "synth_samples_per_sec": round(Bs * Ts / dts, 1),
+            "synth_T": Ts,
+            "synth_us_per_step": round(dt_dec / Ts * 1e6, 1),
+            "decoder": "pallas fused sequential-grid kernel",
             "ref_synth_audio_sec_per_sec_assumed": REF_SYNTH_AUDIO_SEC_PER_SEC,
         },
     }

@@ -194,15 +194,19 @@ def _native_batch(dataset: WaveDataset, cfg: Config, idxs, collate: Collator, se
     if not cfg.is_mulaw_quantize or not native.available():
         return None
     utts = [dataset.utterances[i] for i in idxs]
-    out = native.load_batch_native(
-        [u.path("wave") for u in utts],
-        [u.path(dataset.feat_type, norm=dataset.norm) for u in utts],
-        collate.max_steps,
-        cfg.get_hop_size(),
-        cfg.cin_pad,
-        cfg.dim_in if dataset.feat_type == "mfcc" else cfg.num_mels,
-        seed,
-    )
+    try:
+        out = native.load_batch_native(
+            [u.path("wave") for u in utts],
+            [u.path(dataset.feat_type, norm=dataset.norm) for u in utts],
+            collate.max_steps,
+            cfg.get_hop_size(),
+            cfg.cin_pad,
+            cfg.dim_in if dataset.feat_type == "mfcc" else cfg.num_mels,
+            seed,
+        )
+    except RuntimeError:
+        # e.g. Fortran-order or exotic-dtype npy — Python path handles it
+        return None
     if out is None:
         return None
     x, c = out

@@ -32,8 +32,10 @@ def process_utterance(cfg: Config, wav_path: str, out_dir: str, sp2ind: dict) ->
     if cfg.highpass_cutoff > 0:
         wav = dsp.low_cut_filter(wav, cfg.sample_rate, cfg.highpass_cutoff)
 
-    mel = dsp.logmelspectrogram(wav, cfg).astype(np.float32).T  # (N, num_mels)
-    mfcc = dsp.mfcc(wav, cfg).astype(np.float32).T              # (N, 39)
+    # ascontiguousarray: np.save would otherwise write the transposed views
+    # Fortran-order, which the native mmap loader declines
+    mel = np.ascontiguousarray(dsp.logmelspectrogram(wav, cfg).astype(np.float32).T)
+    mfcc = np.ascontiguousarray(dsp.mfcc(wav, cfg).astype(np.float32).T)  # (N, 39)
 
     if cfg.global_gain_scale > 0:
         wav = wav * cfg.global_gain_scale

@@ -104,8 +104,8 @@ def _mk_kernel(net, B, T, teacher: bool, has_c: bool, has_g: bool, acc=jnp.float
             gadd_ref = refs[i]; i += 1        # (L, B, G) precomputed
         seed_ref = refs[i]; i += 1            # (1,) int32 in SMEM
         if teacher:
-            teach_ref = refs[i]; i += 1       # (1, B) int32 block at step t
-        codes_ref = refs[i]; i += 1           # out: (1, B) int32
+            teach_ref = refs[i]; i += 1       # (1, 1, B) int32 block at step t
+        codes_ref = refs[i]; i += 1           # out: (1, 1, B) int32
         logits_ref = refs[i]; i += 1          # out: (1, B, O)
         bufs = refs[i : i + L]                # scratch: (2*d_l, B, C) each
         prev_ref = refs[i + L]                # scratch: (B, O) one-hot prev
@@ -115,14 +115,15 @@ def _mk_kernel(net, B, T, teacher: bool, has_c: bool, has_g: bool, acc=jnp.float
         @pl.when(t == 0)
         def _():
             pltpu.prng_seed(seed_ref[0])
-            # mu-law silence code 127 as initial input (wavenet.py:288)
-            init = jnp.zeros((B, O), acc)
-            prev_ref[:] = init.at[:, 127].set(1.0)
+            # mu-law silence code 127 as initial input (wavenet.py:288);
+            # built via iota (scatter doesn't lower on TPU)
+            col = jax.lax.broadcasted_iota(jnp.int32, (B, O), 1)
+            prev_ref[:] = (col == 127).astype(acc)
             for l in range(L):
                 bufs[l][:] = jnp.zeros_like(bufs[l])
 
         if teacher:
-            x_onehot = jax.nn.one_hot(teach_ref[0, :], O, dtype=acc)  # (B, O)
+            x_onehot = jax.nn.one_hot(teach_ref[0, 0, :], O, dtype=acc)  # (B, O)
         else:
             x_onehot = prev_ref[:]
 
@@ -170,7 +171,7 @@ def _mk_kernel(net, B, T, teacher: bool, has_c: bool, has_g: bool, acc=jnp.float
         u = jnp.clip(u, 1e-7, 1.0 - 1e-7)
         gumbel = -jnp.log(-jnp.log(u))
         idx = jnp.argmax(jax.nn.log_softmax(logits, axis=-1) + gumbel, axis=-1).astype(jnp.int32)
-        codes_ref[0] = idx
+        codes_ref[0, 0] = idx
         prev_ref[:] = jax.nn.one_hot(idx, O, dtype=acc)
 
     return kernel
@@ -209,6 +210,16 @@ def wavenet_decode_pallas(
         B = teach.shape[0]
     else:
         B = 1
+    # TPU tiling: sublane dims must be multiples of 8 — pad the batch
+    B0 = B
+    B = max(8, ((B + 7) // 8) * 8)
+    if B != B0:
+        if has_c:
+            c_up = jnp.pad(c_up, ((0, B - B0), (0, 0), (0, 0)))
+        if has_g:
+            g_add = jnp.pad(g_add, ((0, 0), (0, B - B0), (0, 0)))
+        if teach is not None:
+            teach = jnp.pad(teach, ((0, B - B0), (0, 0)))
     L, C = net.layers, net.residual_channels
     O = net.out_channels
 
@@ -253,8 +264,10 @@ def wavenet_decode_pallas(
     inputs.append(jnp.asarray(seed, jnp.int32).reshape(1))
     if teacher:
         assert teach is not None
-        in_specs.append(pl.BlockSpec((1, B), lambda t: (t, 0), memory_space=pltpu.VMEM))
-        inputs.append(jnp.swapaxes(teach.astype(jnp.int32), 0, 1))
+        in_specs.append(
+            pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0), memory_space=pltpu.VMEM)
+        )
+        inputs.append(jnp.swapaxes(teach.astype(jnp.int32), 0, 1)[:, None, :])
 
     scratch = [
         pltpu.VMEM((2 * net.dilation(i), B, C), acc) for i in range(L)
@@ -265,19 +278,23 @@ def wavenet_decode_pallas(
         grid=(T,),
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((1, B), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B, O), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((T, B), jnp.int32),
+            jax.ShapeDtypeStruct((T, 1, B), jnp.int32),
             jax.ShapeDtypeStruct((T, B, O), acc),
         ),
         scratch_shapes=scratch,
+        # weights (~28 MB f32) + ring buffers stay VMEM-resident across the
+        # sequential grid: raise the scoped-vmem ceiling (v5e: 128 MB phys)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=112 * 1024 * 1024),
         # plain HLO interpret lacks the TPU PRNG primitives; use the TPU
         # interpreter for CPU tests
         interpret=pltpu.InterpretParams() if interpret else False,
     )(*inputs)
-    return jnp.swapaxes(codes, 0, 1), jnp.swapaxes(logits, 0, 1)
+    codes = jnp.swapaxes(codes[:, 0, :], 0, 1)[:B0]
+    return codes, jnp.swapaxes(logits, 0, 1)[:B0]
 
 
 def precompute_g_add(net, params: dict, g) -> jnp.ndarray | None:

@@ -91,10 +91,19 @@ def train(
     t0, last_log_step = time.time(), int(state.step)
     samples_per_batch = None
     metrics = None
+    profiling = False
     try:
         for batch in it:
             if int(state.step) >= limit:
                 break
+            # first-class profiling hook (SURVEY §5): trace steps 10..15
+            if cfg.profile_dir and int(state.step) == 10 and not profiling:
+                jax.profiler.start_trace(cfg.profile_dir)
+                profiling = True
+            if profiling and int(state.step) >= 15:
+                jax.profiler.stop_trace()
+                profiling = False
+                print(f"profile trace written to {cfg.profile_dir}")
             batch = shard_batch(batch, mesh)
             samples_per_batch = batch["x"].shape[0] * batch["x"].shape[1]
             state, metrics = step_fn(state, batch, rng)
