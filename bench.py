@@ -66,15 +66,20 @@ def main():
     }
     batch = {k: jax.device_put(v, dev) for k, v in batch.items()}
 
-    # ---- train throughput (sync every step) ----
+    # ---- train throughput: chained steps (the state dependence serializes
+    # execution on device), one forced sync at the end — keeps host/tunnel
+    # latency out of the measurement ----
     state, m = step_fn(state, batch, jax.random.PRNGKey(1))
     _sync(m["loss"])
     n_steps = 10
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, m = step_fn(state, batch, jax.random.PRNGKey(1))
+    best = np.inf
+    for _trial in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            state, m = step_fn(state, batch, jax.random.PRNGKey(1))
         _sync(m["loss"])
-    dt_step = (time.perf_counter() - t0) / n_steps
+        best = min(best, (time.perf_counter() - t0) / n_steps)
+    dt_step = best
     train_sps = B * T / dt_step
 
     # ---- AR synthesis throughput: fused Pallas decode ----
