@@ -94,6 +94,7 @@ def main(argv=None):
     p.add_argument("lan")
     p.add_argument("--start-ind", type=int, default=0)
     p.add_argument("--tar-utt-map", default=None, help="json: speaker -> mfcc.norm.npy for AdaIN")
+    p.add_argument("--batch", type=int, default=1, help="utterances decoded in parallel")
 
     args = ap.parse_args(argv)
 
@@ -160,6 +161,7 @@ def main(argv=None):
             lan=args.lan,
             start_ind=args.start_ind,
             tar_utt_map=tar_map,
+            batch=args.batch,
         )
 
 

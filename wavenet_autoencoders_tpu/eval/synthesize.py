@@ -165,7 +165,10 @@ def run_synthesis_list(
 
     out_dir = Path(dst_dir) / "2019" / lan / "test"
     out_dir.mkdir(parents=True, exist_ok=True)
-    written = []
+
+    # load + pad every item; group by exact padded frame count so batching
+    # never alters per-utterance statistics (instance norm) or shapes
+    items = []
     for i in range(start_ind, len(lines)):
         p, tar = lines[i].split()
         if lan == "surprise":
@@ -177,16 +180,35 @@ def run_synthesis_list(
         c = _pad_frames(cfg, np.load(feat_path))
         if tar not in sp2ind:
             raise KeyError(f"speaker {tar} not in {speaker2ind_path}")
-        spid = sp2ind[tar]
         tar_c = None
         if needs_tar:
             if not tar_utt_map or tar not in tar_utt_map:
                 raise KeyError(f"IN-model synthesis needs a tar_c utterance for {tar}")
             tar_c = np.load(tar_utt_map[tar])
-        key, sub = jax.random.split(key)
-        wav = wavegen(cfg, model, params, state, c, g=spid, tar_c=tar_c, key=sub)
-        dst = out_dir / f"{tar}_{fid}.wav"
-        dsp.save_wav(wav, dst, cfg.sample_rate)
-        written.append(str(dst))
-        print(f"ind {i} -> {dst}", flush=True)
+        items.append((i, c, sp2ind[tar], tar, fid, tar_c))
+
+    groups: dict = {}
+    for it in items:
+        # IN-family: batch only items sharing the same tar_c source
+        gk = (it[1].shape[0], None if it[5] is None else it[3])
+        groups.setdefault(gk, []).append(it)
+
+    written = []
+    for (_frames, _tarsp), group in groups.items():
+        for j in range(0, len(group), max(batch, 1)):
+            chunk = group[j : j + max(batch, 1)]
+            c_b = np.stack([it[1] for it in chunk])
+            g_b = np.array([it[2] for it in chunk], np.int32)
+            tar_c = chunk[0][5]
+            key, sub = jax.random.split(key)
+            wavs = batch_wavegen(
+                cfg, model, params, state, c_b, g_b,
+                tar_c=None if tar_c is None else _pad_frames(cfg, tar_c)[None],
+                key=sub,
+            )
+            for (i, _c, _sp, tar, fid, _tc), wav in zip(chunk, wavs):
+                dst = out_dir / f"{tar}_{fid}.wav"
+                dsp.save_wav(wav, dst, cfg.sample_rate)
+                written.append(str(dst))
+                print(f"ind {i} -> {dst}", flush=True)
     return written

@@ -130,6 +130,37 @@ def save_checkpoint(state, checkpoint_dir: str | Path, step: int | None = None, 
     return main
 
 
+class AsyncCheckpointer:
+    """Preemption-safe asynchronous checkpointing (SURVEY §5 gap): device
+    state is snapshot to host synchronously (cheap), the npz write + latest
+    rotation runs on a background thread so the train loop never blocks on
+    disk. ``wait()`` before exit."""
+
+    def __init__(self):
+        import threading
+
+        self._thread: "threading.Thread | None" = None
+
+    def save(self, state, checkpoint_dir, step=None, save_optimizer_state=True):
+        import threading
+
+        import jax
+
+        self.wait()
+        host_state = jax.tree.map(lambda x: np.asarray(x), state)
+        self._thread = threading.Thread(
+            target=save_checkpoint,
+            args=(host_state, checkpoint_dir, step, save_optimizer_state),
+            daemon=True,
+        )
+        self._thread.start()
+
+    def wait(self):
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+
+
 def load_checkpoint(state, path: str | Path, reset_optimizer: bool = False):
     """Exact resume (``vqwae_train.py:959-976``). Returns a new TrainState
     with restored params/model_state/step (+ optimizer unless reset)."""

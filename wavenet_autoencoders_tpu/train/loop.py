@@ -19,6 +19,7 @@ from wavenet_autoencoders_tpu.config import Config
 from wavenet_autoencoders_tpu.data.dataset import WaveDataset, data_iterator
 from wavenet_autoencoders_tpu.models.zoo import build_model
 from wavenet_autoencoders_tpu.train.checkpoint import (
+    AsyncCheckpointer,
     freeze_config,
     load_checkpoint,
     restore_parts,
@@ -92,6 +93,7 @@ def train(
     samples_per_batch = None
     metrics = None
     profiling = False
+    ckpt = AsyncCheckpointer()
     try:
         for batch in it:
             if int(state.step) >= limit:
@@ -123,13 +125,14 @@ def train(
                 t0, last_log_step = time.time(), step
 
             if step > 0 and step % cfg.checkpoint_interval == 0:
-                save_checkpoint(state, ckpt_dir, save_optimizer_state=cfg.save_optimizer_state)
+                ckpt.save(state, ckpt_dir, save_optimizer_state=cfg.save_optimizer_state)
                 if dev_ds is not None:
                     _run_dev(cfg, eval_fn, state, dev_ds, writer, step, rng)
     except KeyboardInterrupt:
         print("interrupted — saving checkpoint before exit")
     if metrics is not None:
         writer.scalars(int(state.step), "train_no_dev", {k: float(v) for k, v in metrics.items()})
+    ckpt.wait()
     save_checkpoint(state, ckpt_dir, save_optimizer_state=cfg.save_optimizer_state)
     writer.close()
     return state
