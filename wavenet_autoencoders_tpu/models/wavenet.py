@@ -194,7 +194,15 @@ class WaveNet:
             c = self.upsample_conditioning(params, c, dtype=dtype)
             assert c.shape[1] == T, f"upsampled c {c.shape} vs x {x.shape}"
 
-        h = conv1d_apply(params["first"], x, dtype=dtype)
+        if x.ndim == 2 and jnp.issubdtype(x.dtype, jnp.integer):
+            # integer-code fast path: the first 1x1 over a one-hot input is
+            # a row gather — skips materializing the (B, T, 256) one-hot
+            from wavenet_autoencoders_tpu.ops.conv import conv1d_weight
+
+            w1 = conv1d_weight(params["first"], dtype)[0]
+            h = jnp.take(w1, x, axis=0) + params["first"]["b"]
+        else:
+            h = conv1d_apply(params["first"], x, dtype=dtype)
         skips = 0.0
         for i, lp in enumerate(params["layers"]):
             if train and self.dropout > 0.0 and rng is not None:

@@ -128,6 +128,10 @@ def train(
                 ckpt.save(state, ckpt_dir, save_optimizer_state=cfg.save_optimizer_state)
                 if dev_ds is not None:
                     _run_dev(cfg, eval_fn, state, dev_ds, writer, step, rng)
+                _try_save_states(cfg, model, state, step, batch, ckpt_dir)
+
+            if step > 0 and step % cfg.train_eval_interval == 0:
+                _try_eval_model(cfg, model, state, step, batch, ckpt_dir)
     except KeyboardInterrupt:
         print("interrupted — saving checkpoint before exit")
     if metrics is not None:
@@ -136,6 +140,36 @@ def train(
     save_checkpoint(state, ckpt_dir, save_optimizer_state=cfg.save_optimizer_state)
     writer.close()
     return state
+
+
+def _try_save_states(cfg, model, state, step, batch, ckpt_dir):
+    """Teacher-forced sample dump (vqwae_train.py:768-769) — best-effort."""
+    try:
+        import jax as _jax
+
+        from wavenet_autoencoders_tpu.train.eval_hooks import save_states
+        from wavenet_autoencoders_tpu.train.step import _prep_x
+
+        params = state.ema_params if state.ema_params is not None else state.params
+        y_hat, *_ = model.forward(
+            params, state.model_state, _jax.random.PRNGKey(step),
+            _prep_x(cfg, batch["x"]), batch.get("c"), batch.get("g"), train=False,
+        )
+        save_states(cfg, step, np.asarray(y_hat), batch, ckpt_dir)
+    except Exception as e:  # qualitative eval must never kill training
+        print(f"save_states skipped: {type(e).__name__}: {e}")
+
+
+def _try_eval_model(cfg, model, state, step, batch, ckpt_dir):
+    """Periodic full AR decode of a batch item (vqwae_train.py:772-774)."""
+    try:
+        from wavenet_autoencoders_tpu.train.eval_hooks import eval_model
+
+        params = state.ema_params if state.ema_params is not None else state.params
+        eval_dir = Path(ckpt_dir) / "intermediate" / "train_no_dev_eval"
+        eval_model(cfg, model, params, state.model_state, step, batch, eval_dir)
+    except Exception as e:
+        print(f"eval_model skipped: {type(e).__name__}: {e}")
 
 
 def _run_dev(cfg, eval_fn, state, dev_ds, writer, step, rng, max_batches: int = 10):

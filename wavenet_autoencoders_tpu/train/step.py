@@ -104,12 +104,13 @@ def _is_feature_ae(model) -> bool:
 
 def _prep_x(cfg: Config, x):
     """Host batches carry compact waveforms (int codes (B,T) for
-    mulaw-quantize, float (B,T) scalars otherwise); expand on device —
-    one-hot on host would inflate H2D traffic 256x."""
+    mulaw-quantize, float (B,T) scalars otherwise). Integer codes pass
+    through — the WaveNet first conv gathers embedding rows directly
+    instead of materializing a (B, T, 256) one-hot."""
     if x.ndim == 3:
         return x
     if cfg.is_mulaw_quantize:
-        return jax.nn.one_hot(x, cfg.quantize_channels, dtype=jnp.float32)
+        return x.astype(jnp.int32)
     return x[..., None].astype(jnp.float32)
 
 
