@@ -51,26 +51,27 @@ def pack_decode_weights(net, params: dict, dtype=jnp.float32) -> dict:
     def w(p):
         return conv1d_weight(p).astype(dtype)
 
+    f32 = jnp.float32  # biases are cheap adds — keep full precision
     packed = {
         "w1": w(params["first"])[0],
-        "b1": params["first"]["b"].astype(dtype),
+        "b1": params["first"]["b"].astype(f32),
         "wconv": jnp.stack([w(params["layers"][i]["conv"]) for i in range(L)]),
-        "bconv": jnp.stack([params["layers"][i]["conv"]["b"].astype(dtype) for i in range(L)]),
+        "bconv": jnp.stack([params["layers"][i]["conv"]["b"].astype(f32) for i in range(L)]),
         "wout": jnp.stack([w(params["layers"][i]["out"])[0] for i in range(L)]),
-        "bout": jnp.stack([params["layers"][i]["out"]["b"].astype(dtype) for i in range(L)]),
+        "bout": jnp.stack([params["layers"][i]["out"]["b"].astype(f32) for i in range(L)]),
         "wskip": jnp.stack([w(params["layers"][i]["skip"])[0] for i in range(L)]),
-        "bskip": jnp.stack([params["layers"][i]["skip"]["b"].astype(dtype) for i in range(L)]),
+        "bskip": jnp.stack([params["layers"][i]["skip"]["b"].astype(f32) for i in range(L)]),
         "wp1": w(params["post1"])[0],
-        "bp1": params["post1"]["b"].astype(dtype),
+        "bp1": params["post1"]["b"].astype(f32),
         "wp2": w(params["post2"])[0],
-        "bp2": params["post2"]["b"].astype(dtype),
+        "bp2": params["post2"]["b"].astype(f32),
     }
     if "cproj" in params["layers"][0]:
         packed["wc"] = jnp.stack([w(params["layers"][i]["cproj"])[0] for i in range(L)])
     return packed
 
 
-def _mk_kernel(net, B, T, teacher: bool, has_c: bool, has_g: bool, acc=jnp.float32):
+def _mk_kernel(net, B, T, teacher: bool, has_c: bool, has_g: bool, acc=jnp.float32, store=jnp.float32):
     L = net.layers
     C = net.residual_channels
     G = net.gate_channels
@@ -118,12 +119,12 @@ def _mk_kernel(net, B, T, teacher: bool, has_c: bool, has_g: bool, acc=jnp.float
             # mu-law silence code 127 as initial input (wavenet.py:288);
             # built via iota (scatter doesn't lower on TPU)
             col = jax.lax.broadcasted_iota(jnp.int32, (B, O), 1)
-            prev_ref[:] = (col == 127).astype(acc)
+            prev_ref[:] = (col == 127).astype(store)
             for l in range(L):
                 bufs[l][:] = jnp.zeros_like(bufs[l])
 
         if teacher:
-            x_onehot = jax.nn.one_hot(teach_ref[0, 0, :], O, dtype=acc)  # (B, O)
+            x_onehot = jax.nn.one_hot(teach_ref[0, 0, :], O, dtype=store)  # (B, O)
         else:
             x_onehot = prev_ref[:]
 
@@ -144,14 +145,14 @@ def _mk_kernel(net, B, T, teacher: bool, has_c: bool, has_g: bool, acc=jnp.float
             ab = (
                 jnp.dot(tap0, wconv_ref[l, 0], preferred_element_type=acc)
                 + jnp.dot(tap1, wconv_ref[l, 1], preferred_element_type=acc)
-                + jnp.dot(h_in, wconv_ref[l, 2], preferred_element_type=acc)
+                + jnp.dot(h_in.astype(store), wconv_ref[l, 2], preferred_element_type=acc)
                 + bconv_ref[l][None, :]
             )
             if has_c:
                 ab = ab + jnp.dot(ct_ref[0], wc_ref[l], preferred_element_type=acc)
             if has_g:
                 ab = ab + gadd_ref[l]
-            act = jnp.tanh(ab[:, :G2]) * jax.nn.sigmoid(ab[:, G2:])
+            act = (jnp.tanh(ab[:, :G2]) * jax.nn.sigmoid(ab[:, G2:])).astype(store)
             skip_acc = skip_acc + (
                 jnp.dot(act, wskip_ref[l], preferred_element_type=acc) + bskip_ref[l][None, :]
             )
@@ -160,8 +161,10 @@ def _mk_kernel(net, B, T, teacher: bool, has_c: bool, has_g: bool, acc=jnp.float
             bufs[l][pl.ds(s0, 1), :, :] = h_in[None].astype(bufs[l].dtype)
             h = (out + h_in) * res_scale
 
-        x = jax.nn.relu(skip_acc * skip_scale)
-        x = jax.nn.relu(jnp.dot(x, wp1_ref[:], preferred_element_type=acc) + bp1_ref[:][None, :])
+        x = jax.nn.relu(skip_acc * skip_scale).astype(store)
+        x = jax.nn.relu(
+            jnp.dot(x, wp1_ref[:], preferred_element_type=acc) + bp1_ref[:][None, :]
+        ).astype(store)
         logits = jnp.dot(x, wp2_ref[:], preferred_element_type=acc) + bp2_ref[:][None, :]
         logits_ref[0] = logits
 
@@ -172,7 +175,7 @@ def _mk_kernel(net, B, T, teacher: bool, has_c: bool, has_g: bool, acc=jnp.float
         gumbel = -jnp.log(-jnp.log(u))
         idx = jnp.argmax(jax.nn.log_softmax(logits, axis=-1) + gumbel, axis=-1).astype(jnp.int32)
         codes_ref[0, 0] = idx
-        prev_ref[:] = jax.nn.one_hot(idx, O, dtype=acc)
+        prev_ref[:] = jax.nn.one_hot(idx, O, dtype=store)
 
     return kernel
 
@@ -202,6 +205,7 @@ def wavenet_decode_pallas(
     Returns (codes (B, T) int32, logits (B, T, O)).
     """
     acc = jnp.float32
+    store = jnp.bfloat16 if dtype_str == "bfloat16" else jnp.float32
     has_c = c_up is not None
     has_g = g_add is not None
     if has_c:
@@ -223,7 +227,7 @@ def wavenet_decode_pallas(
     L, C = net.layers, net.residual_channels
     O = net.out_channels
 
-    kernel = _mk_kernel(net, B, T, teacher, has_c, has_g, acc)
+    kernel = _mk_kernel(net, B, T, teacher, has_c, has_g, acc, store)
 
     def resident(shape):
         nd = len(shape)
@@ -243,16 +247,19 @@ def wavenet_decode_pallas(
         resident(packed["wp2"].shape),
         resident(packed["bp2"].shape),
     ]
+    def _w(a):  # weights in storage dtype, biases stay f32
+        return a.astype(store)
+
     inputs = [
-        packed["w1"], packed["b1"], packed["wconv"], packed["bconv"],
-        packed["wout"], packed["bout"], packed["wskip"], packed["bskip"],
-        packed["wp1"], packed["bp1"], packed["wp2"], packed["bp2"],
+        _w(packed["w1"]), packed["b1"], _w(packed["wconv"]), packed["bconv"],
+        _w(packed["wout"]), packed["bout"], _w(packed["wskip"]), packed["bskip"],
+        _w(packed["wp1"]), packed["bp1"], _w(packed["wp2"]), packed["bp2"],
     ]
     if has_c:
         in_specs.append(resident(packed["wc"].shape))
-        inputs.append(packed["wc"])
+        inputs.append(_w(packed["wc"]))
         cin = c_up.shape[-1]
-        c_t = jnp.swapaxes(c_up, 0, 1).astype(acc)  # (T, B, cin)
+        c_t = jnp.swapaxes(c_up, 0, 1).astype(store)  # (T, B, cin)
         in_specs.append(
             pl.BlockSpec((1, B, cin), lambda t: (t, 0, 0), memory_space=pltpu.VMEM)
         )
@@ -270,8 +277,8 @@ def wavenet_decode_pallas(
         inputs.append(jnp.swapaxes(teach.astype(jnp.int32), 0, 1)[:, None, :])
 
     scratch = [
-        pltpu.VMEM((2 * net.dilation(i), B, C), acc) for i in range(L)
-    ] + [pltpu.VMEM((B, O), acc)]
+        pltpu.VMEM((2 * net.dilation(i), B, C), store) for i in range(L)
+    ] + [pltpu.VMEM((B, O), store)]
 
     codes, logits = pl.pallas_call(
         kernel,
