@@ -196,6 +196,7 @@ class Config:
     # ---- TPU-specific (new in this framework) ----
     mesh_shape: dict = field(default_factory=lambda: {"data": -1, "model": 1})
     compute_dtype: str = "bfloat16"   # activations dtype in matmul-heavy paths
+    fused_glu: bool = False           # Pallas fused GLU layers in training
     param_dtype: str = "float32"
     seed: int = 1234
     profile_dir: str | None = None    # jax.profiler trace output

@@ -70,6 +70,9 @@ class WaveNet:
     scalar_input: bool = False
     use_speaker_embedding: bool = False
     output_distribution: str = "Logistic"
+    # TPU fast path: per-layer fused Pallas GLU (kernels/glu_train.py) with
+    # explicit VJP; requires dropout == 0 and kernel_size == 3
+    fused_glu: bool = False
 
     # ---- derived ----
     @property
@@ -203,23 +206,54 @@ class WaveNet:
             h = jnp.take(w1, x, axis=0) + params["first"]["b"]
         else:
             h = conv1d_apply(params["first"], x, dtype=dtype)
-        skips = 0.0
-        for i, lp in enumerate(params["layers"]):
-            if train and self.dropout > 0.0 and rng is not None:
-                rng, sub = jax.random.split(rng)
-            else:
-                sub = None
-            h, s = residual_glu_apply(
-                lp,
-                h,
-                c,
-                g_feat,
-                dilation=self.dilation(i),
-                dropout=self.dropout if train else 0.0,
-                rng=sub,
-                dtype=dtype,
-            )
-            skips = skips + s
+        if self.fused_glu and self.kernel_size == 3 and self.dropout == 0.0:
+            from wavenet_autoencoders_tpu.kernels.glu_train import fused_glu_layer
+            from wavenet_autoencoders_tpu.ops.conv import conv1d_weight
+
+            interp = jax.devices()[0].platform == "cpu"
+            if dtype is not None:
+                h = h.astype(dtype)
+                c = None if c is None else c.astype(dtype)
+            skips = 0.0
+            for i, lp in enumerate(params["layers"]):
+                g_add = None
+                if g_feat is not None and "gproj" in lp:
+                    g_add = jnp.einsum(
+                        "bj,jg->bg", g_feat, conv1d_weight(lp["gproj"], dtype)[0]
+                    )
+                h, s = fused_glu_layer(
+                    h,
+                    c,
+                    g_add,
+                    conv1d_weight(lp["conv"], dtype),
+                    lp["conv"]["b"],
+                    conv1d_weight(lp["cproj"], dtype)[0] if c is not None else None,
+                    conv1d_weight(lp["out"], dtype)[0],
+                    lp["out"]["b"],
+                    conv1d_weight(lp["skip"], dtype)[0],
+                    lp["skip"]["b"],
+                    self.dilation(i),
+                    interp,
+                )
+                skips = skips + s.astype(jnp.float32)
+        else:
+            skips = 0.0
+            for i, lp in enumerate(params["layers"]):
+                if train and self.dropout > 0.0 and rng is not None:
+                    rng, sub = jax.random.split(rng)
+                else:
+                    sub = None
+                h, s = residual_glu_apply(
+                    lp,
+                    h,
+                    c,
+                    g_feat,
+                    dilation=self.dilation(i),
+                    dropout=self.dropout if train else 0.0,
+                    rng=sub,
+                    dtype=dtype,
+                )
+                skips = skips + s
         skips = skips * math.sqrt(1.0 / self.layers)
 
         out = jax.nn.relu(skips)

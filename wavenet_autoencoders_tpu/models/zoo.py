@@ -45,6 +45,7 @@ def build_wavenet(cfg: Config, gin_channels=None, use_speaker_embedding=True) ->
         scalar_input=cfg.is_scalar_input,
         use_speaker_embedding=use_speaker_embedding,
         output_distribution=cfg.output_distribution,
+        fused_glu=cfg.fused_glu,
     )
 
 
