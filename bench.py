@@ -91,19 +91,23 @@ def main():
 
     net = model.wavenet
     params = state.params["wavenet"]
-    Bs, Ts = 16, 5120
+    Bs, Ts = 32, 5120
     lat = jnp.asarray(rng.standard_normal((Bs, Ts // 640, cfg.cin_channels)), jnp.float32)
     g = jnp.asarray(np.arange(Bs) % cfg.n_speakers, jnp.int32)
     c_up = net.upsample_conditioning(params, lat)
     packed = pack_decode_weights(net, params)
     g_add = precompute_g_add(net, params, g)
 
-    codes, _ = wavenet_decode_pallas(net, packed, Ts, 0, c_up=c_up, g_add=g_add)
+    codes, _ = wavenet_decode_pallas(
+        net, packed, Ts, 0, c_up=c_up, g_add=g_add, dtype_str="bfloat16"
+    )
     _sync(codes)
     reps = 3
     t0 = time.perf_counter()
     for i in range(reps):
-        codes, _ = wavenet_decode_pallas(net, packed, Ts, i, c_up=c_up, g_add=g_add)
+        codes, _ = wavenet_decode_pallas(
+            net, packed, Ts, i, c_up=c_up, g_add=g_add, dtype_str="bfloat16"
+        )
         _sync(codes)
     dt_dec = (time.perf_counter() - t0) / reps
     synth_aps = Bs * Ts / cfg.sample_rate / dt_dec

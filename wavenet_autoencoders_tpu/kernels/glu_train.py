@@ -13,6 +13,13 @@ shifted GEMMs), so autodiff never re-derives the conv.
 Weight norm stays outside: the kernel consumes FOLDED weights; gradients
 flow back through the (g, v) parameterization via XLA's own vjp of the
 folding expression.
+
+Measured (v5e, svqwae, batch 40 x 5120): 245 ms/step vs 235 ms for the XLA
+path — XLA's own conv+epilogue fusion is already near this formulation's
+throughput, so the flag defaults to OFF; the kernel is kept as the starting
+point for a fully-fused multi-layer bf16 forward+backward (where the real
+headroom is — see kernels/decode.py for the inference-side version of that
+win).
 """
 from __future__ import annotations
 
@@ -34,7 +41,7 @@ def _fwd_kernel(G2, has_c, has_g, store, acc):
         if has_c:
             c_ref = refs[i]; i += 1      # (1, T, cin)
         if has_g:
-            gadd_ref = refs[i]; i += 1   # (1, G)
+            gadd_ref = refs[i]; i += 1   # (1, 1, G) — singleton sublane for tiling
         wconv_ref = refs[i]; i += 1      # (3, C, G)
         bconv_ref = refs[i]; i += 1      # (1, G)
         wc_ref = refs[i] if has_c else None; i += has_c
@@ -59,7 +66,7 @@ def _fwd_kernel(G2, has_c, has_g, store, acc):
         if has_c:
             ab = ab + jnp.dot(c_ref[0], wc_ref[:], preferred_element_type=acc)
         if has_g:
-            ab = ab + gadd_ref[0][None, :]
+            ab = ab + gadd_ref[0, 0][None, :]
         ab_ref[0] = ab.astype(store)
         act = (jnp.tanh(ab[:, :G2]) * jax.nn.sigmoid(ab[:, G2:])).astype(store)
         skip_ref[0] = (
@@ -98,8 +105,8 @@ def _fwd_pallas(x, c, g_add, wconv, bconv, wc, wout, bout, wskip, bskip,
         in_specs.append(row((T, c.shape[-1])))
         inputs.append(c.astype(store))
     if has_g:
-        in_specs.append(row((G,)))
-        inputs.append(g_add.astype(acc))
+        in_specs.append(row((1, G)))
+        inputs.append(g_add.astype(acc)[:, None, :])
     in_specs += [resident(wconv.shape), resident((1, G))]
     inputs += [wconv.astype(store), bconv.reshape(1, -1).astype(acc)]
     if has_c:

@@ -421,9 +421,11 @@ class WaveNet:
         *,
         upsampled: bool = False,
         interpret: bool = False,
+        dtype_str: str = "bfloat16",
     ):
         """Fused-kernel AR generation (kernels/decode.py): the whole
-        sampling loop in one Pallas call with VMEM-resident weights.
+        sampling loop in one Pallas call with VMEM-resident weights
+        (bf16 storage by default — fits batch 32 on a v5e).
         mu-law-quantize path only; returns (codes (B,T) int32,
         logits (B,T,O))."""
         from wavenet_autoencoders_tpu.kernels.decode import (
@@ -440,7 +442,8 @@ class WaveNet:
         g_add = precompute_g_add(self, params, g)
         seed = jax.random.randint(key, (), 0, 2**31 - 1)
         return wavenet_decode_pallas(
-            self, packed, T, seed, c_up=c, g_add=g_add, interpret=interpret
+            self, packed, T, seed, c_up=c, g_add=g_add, interpret=interpret,
+            dtype_str=dtype_str,
         )
 
 
