@@ -71,7 +71,27 @@ def pack_decode_weights(net, params: dict, dtype=jnp.float32) -> dict:
     return packed
 
 
-def _mk_kernel(net, B, T, teacher: bool, has_c: bool, has_g: bool, acc=jnp.float32, store=jnp.float32):
+def _mk_kernel(
+    net,
+    B,
+    T,
+    teacher: bool,
+    has_c: bool,
+    has_g: bool,
+    acc=jnp.float32,
+    store=jnp.float32,
+    hbm_layers: tuple = (),
+):
+    """Build the fused decode-step kernel body.
+
+    ``hbm_layers``: indices of layers whose ring buffer lives in HBM instead
+    of VMEM (see :func:`wavenet_decode_pallas` — the high-dilation layers own
+    ~94% of the ring-buffer bytes, so spilling them to HBM with
+    double-buffered DMA prefetch lifts the VMEM batch ceiling from 32 to
+    128+ while the prefetch latency hides entirely behind the step's
+    matmuls: tap addresses are pure functions of ``t``, so step ``t``
+    prefetches step ``t+1``'s taps).
+    """
     L = net.layers
     C = net.residual_channels
     G = net.gate_channels
@@ -83,6 +103,12 @@ def _mk_kernel(net, B, T, teacher: bool, has_c: bool, has_g: bool, acc=jnp.float
     dils = [net.dilation(i) for i in range(L)]
     skip_scale = math.sqrt(1.0 / L)
     res_scale = math.sqrt(0.5)
+    hbm_set = frozenset(hbm_layers)
+    # hazard-freedom of the prefetch schedule needs d >= 4 (see analysis in
+    # wavenet_decode_pallas); every preset's HBM-eligible dilation is >= 64
+    assert all(dils[l] >= 4 for l in hbm_set)
+    vmem_layers = [l for l in range(L) if l not in hbm_set]
+    hbm_list = sorted(hbm_set)
 
     def kernel(*refs):
         i = 0
@@ -106,12 +132,35 @@ def _mk_kernel(net, B, T, teacher: bool, has_c: bool, has_g: bool, acc=jnp.float
         seed_ref = refs[i]; i += 1            # (1,) int32 in SMEM
         if teacher:
             teach_ref = refs[i]; i += 1       # (1, 1, B) int32 block at step t
+        if hbm_list:
+            # one concatenated (sum 2*d_l, B, C) ring arena in HBM — a single
+            # array so XLA cannot constant-dedup equal-shaped per-layer
+            # buffers into one aliased allocation (it does, for equal d)
+            hbm_ring = refs[i]; i += 1
+        hbm_off = {}
+        _off = 0
+        for l in hbm_list:
+            hbm_off[l] = _off
+            _off += 2 * dils[l]
         codes_ref = refs[i]; i += 1           # out: (1, 1, B) int32
         logits_ref = refs[i]; i += 1          # out: (1, B, O)
-        bufs = refs[i : i + L]                # scratch: (2*d_l, B, C) each
-        prev_ref = refs[i + L]                # scratch: (B, O) one-hot prev
+        bufs = {}
+        for l in vmem_layers:                 # scratch: (2*d_l, B, C) each
+            bufs[l] = refs[i]; i += 1
+        prev_ref = refs[i]; i += 1            # scratch: (B, O) one-hot prev
+        rstage = {}
+        wstage = {}
+        rsem = {}
+        wsem = {}
+        for l in hbm_list:
+            rstage[l] = refs[i]; i += 1       # (4, B, C): [parity*2 + tap]
+            wstage[l] = refs[i]; i += 1       # (2, B, C): [parity]
+            rsem[l] = refs[i]; i += 1         # DMA sems (2, 2): [tap, parity]
+            wsem[l] = refs[i]; i += 1         # DMA sems (2,): [parity]
 
         t = pl.program_id(0)
+        p = jax.lax.rem(t, 2)
+        pn = jax.lax.rem(t + 1, 2)
 
         @pl.when(t == 0)
         def _():
@@ -120,8 +169,35 @@ def _mk_kernel(net, B, T, teacher: bool, has_c: bool, has_g: bool, acc=jnp.float
             # built via iota (scatter doesn't lower on TPU)
             col = jax.lax.broadcasted_iota(jnp.int32, (B, O), 1)
             prev_ref[:] = (col == 127).astype(store)
-            for l in range(L):
+            for l in vmem_layers:
                 bufs[l][:] = jnp.zeros_like(bufs[l])
+
+        # ---- HBM-layer DMA choreography --------------------------------
+        # wait the write DMA issued 2 steps ago (frees wstage[p] for reuse)
+        for li, l in enumerate(hbm_list):
+            @pl.when(t >= 2)
+            def _(li=li, l=l):
+                pltpu.make_async_copy(
+                    wstage[l].at[p], hbm_ring.at[hbm_off[l]], wsem[l].at[p]
+                ).wait()
+
+        # prefetch step t+1's taps (contents were written >= d-1 steps ago;
+        # slot conflicts with in-flight writes are impossible for d >= 4)
+        for li, l in enumerate(hbm_list):
+            d = dils[l]
+            Lbuf = 2 * d
+            for tap, need in ((0, 2 * d), (1, d)):
+                # tap0 = x(t+1-2d) at slot (t+1) mod 2d;
+                # tap1 = x(t+1-d) at slot (t+1+d) mod 2d
+                slot = jax.lax.rem(t + 1 + tap * d, Lbuf)
+
+                @pl.when((t + 1 >= need) & (t + 1 < T))
+                def _(li=li, l=l, tap=tap, slot=slot):
+                    pltpu.make_async_copy(
+                        hbm_ring.at[hbm_off[l] + slot],
+                        rstage[l].at[pn * 2 + tap],
+                        rsem[l].at[tap, pn],
+                    ).start()
 
         if teacher:
             x_onehot = jax.nn.one_hot(teach_ref[0, 0, :], O, dtype=store)  # (B, O)
@@ -139,9 +215,26 @@ def _mk_kernel(net, B, T, teacher: bool, has_c: bool, has_g: bool, acc=jnp.float
             # taps: x(t-2d) at slot t mod 2d (about to be overwritten),
             # x(t-d) at slot (t-d) mod 2d
             s0 = jax.lax.rem(t, Lbuf)
-            s1 = jax.lax.rem(t + d, Lbuf)  # (t - d) mod 2d == (t + d) mod 2d
-            tap0 = bufs[l][pl.ds(s0, 1), :, :][0]
-            tap1 = bufs[l][pl.ds(s1, 1), :, :][0]
+            if l in hbm_set:
+                li = hbm_list.index(l)
+                for tap, need in ((0, 2 * d), (1, d)):
+                    @pl.when(t >= need)
+                    def _(li=li, tap=tap):
+                        pltpu.make_async_copy(
+                            hbm_ring.at[hbm_off[l]],  # shape only matters for wait
+                            rstage[l].at[p * 2 + tap],
+                            rsem[l].at[tap, p],
+                        ).wait()
+
+                    @pl.when(t < need)
+                    def _(l=l, tap=tap):
+                        rstage[l][pl.ds(p * 2 + tap, 1)] = jnp.zeros((1, B, C), store)
+                tap0 = rstage[l][pl.ds(p * 2, 1)][0]
+                tap1 = rstage[l][pl.ds(p * 2 + 1, 1)][0]
+            else:
+                s1 = jax.lax.rem(t + d, Lbuf)  # (t-d) mod 2d == (t+d) mod 2d
+                tap0 = bufs[l][pl.ds(s0, 1), :, :][0]
+                tap1 = bufs[l][pl.ds(s1, 1), :, :][0]
             ab = (
                 jnp.dot(tap0, wconv_ref[l, 0], preferred_element_type=acc)
                 + jnp.dot(tap1, wconv_ref[l, 1], preferred_element_type=acc)
@@ -158,8 +251,28 @@ def _mk_kernel(net, B, T, teacher: bool, has_c: bool, has_g: bool, acc=jnp.float
             )
             out = jnp.dot(act, wout_ref[l], preferred_element_type=acc) + bout_ref[l][None, :]
             # write current input into its slot (read-before-write done)
-            bufs[l][pl.ds(s0, 1), :, :] = h_in[None].astype(bufs[l].dtype)
+            if l in hbm_set:
+                li = hbm_list.index(l)
+                wstage[l][pl.ds(p, 1)] = h_in[None].astype(store)
+                pltpu.make_async_copy(
+                    wstage[l].at[p], hbm_ring.at[hbm_off[l] + s0], wsem[l].at[p]
+                ).start()
+            else:
+                bufs[l][pl.ds(s0, 1), :, :] = h_in[None].astype(bufs[l].dtype)
             h = (out + h_in) * res_scale
+
+        # drain in-flight writes before the kernel retires: at t == T-1 the
+        # writes from steps T-1 (parity p) and T-2 (parity pn) are unwaited
+        for li, l in enumerate(hbm_list):
+            @pl.when(t == T - 1)
+            def _(li=li, l=l):
+                pltpu.make_async_copy(
+                    wstage[l].at[0], hbm_ring.at[hbm_off[l]], wsem[l].at[p]
+                ).wait()
+                if T >= 2:
+                    pltpu.make_async_copy(
+                        wstage[l].at[0], hbm_ring.at[hbm_off[l]], wsem[l].at[pn]
+                    ).wait()
 
         x = jax.nn.relu(skip_acc * skip_scale).astype(store)
         x = jax.nn.relu(
@@ -182,7 +295,7 @@ def _mk_kernel(net, B, T, teacher: bool, has_c: bool, has_g: bool, acc=jnp.float
 
 @functools.partial(
     jax.jit,
-    static_argnames=("net", "T", "teacher", "interpret", "dtype_str"),
+    static_argnames=("net", "T", "teacher", "interpret", "dtype_str", "hbm_min_dilation"),
 )
 def wavenet_decode_pallas(
     net,
@@ -195,6 +308,7 @@ def wavenet_decode_pallas(
     teacher: bool = False,
     interpret: bool = False,
     dtype_str: str = "float32",
+    hbm_min_dilation: int | None = None,
 ):
     """Run the fused decode. Args:
 
@@ -202,6 +316,12 @@ def wavenet_decode_pallas(
     c_up: (B, T, cin) upsampled conditioning (or None).
     g_add: (L, B, G) precomputed per-layer global-conditioning addends.
     teach: (B, T) int codes when teacher (forced inputs).
+    hbm_min_dilation: layers with dilation >= this keep their ring buffer in
+        HBM (double-buffered DMA prefetch) instead of VMEM. The top four
+        dilations per stack hold 94% of the ring-buffer bytes, so this lifts
+        the VMEM batch ceiling (32 at the default f32/VMEM layout) to 128+.
+        None = all buffers VMEM-resident. Hazard analysis for the prefetch
+        schedule (all (mod 2d) slot-collision cases) requires >= 4.
     Returns (codes (B, T) int32, logits (B, T, O)).
     """
     acc = jnp.float32
@@ -226,8 +346,16 @@ def wavenet_decode_pallas(
             teach = jnp.pad(teach, ((0, B - B0), (0, 0)))
     L, C = net.layers, net.residual_channels
     O = net.out_channels
+    if hbm_min_dilation is not None:
+        assert hbm_min_dilation >= 4
+        hbm_layers = tuple(
+            l for l in range(L) if net.dilation(l) >= hbm_min_dilation
+        )
+    else:
+        hbm_layers = ()
+    hbm_set = frozenset(hbm_layers)
 
-    kernel = _mk_kernel(net, B, T, teacher, has_c, has_g, acc, store)
+    kernel = _mk_kernel(net, B, T, teacher, has_c, has_g, acc, store, hbm_layers)
 
     def resident(shape):
         nd = len(shape)
@@ -275,10 +403,25 @@ def wavenet_decode_pallas(
             pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0), memory_space=pltpu.VMEM)
         )
         inputs.append(jnp.swapaxes(teach.astype(jnp.int32), 0, 1)[:, None, :])
+    if hbm_layers:
+        # One concatenated HBM ring arena for all HBM layers. Contents are
+        # never read before being written *this run* (reads of
+        # x(t-d)/x(t-2d) are masked to zero for t < d / t < 2d), so the
+        # zeros are only a safety net.
+        tot = sum(2 * net.dilation(l) for l in hbm_layers)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM))
+        inputs.append(jnp.zeros((tot, B, C), store))
 
     scratch = [
-        pltpu.VMEM((2 * net.dilation(i), B, C), store) for i in range(L)
+        pltpu.VMEM((2 * net.dilation(i), B, C), store)
+        for i in range(L)
+        if i not in hbm_set
     ] + [pltpu.VMEM((B, O), store)]
+    for _ in hbm_layers:
+        scratch.append(pltpu.VMEM((4, B, C), store))  # read stage
+        scratch.append(pltpu.VMEM((2, B, C), store))  # write stage
+        scratch.append(pltpu.SemaphoreType.DMA((2, 2)))  # read sems [tap, parity]
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))    # write sems [parity]
 
     codes, logits = pl.pallas_call(
         kernel,
