@@ -74,11 +74,11 @@ def batch_wavegen(
     """c: (B, T', dim_in) feature frames -> (B, T) float waveforms."""
     key = jax.random.PRNGKey(0) if key is None else key
     c = _pad_frames_batch(cfg, c)
-    # latent frames * prod(upsample_scales) samples
-    ds = 100 // cfg.frame_rate
-    T = (c.shape[1] // ds) * int(np.prod(cfg.upsample_scales))
     tar_j = None if tar_c is None else jnp.asarray(tar_c)
     lat = model.encode(params, state, jnp.asarray(c), tar_c=tar_j)
+    # audio samples = (latent frames - 2*cin_pad context) * prod(scales)
+    # (the upsampler trims the cin_pad indent, ops/upsample.py:64-71)
+    T = (lat.shape[1] - 2 * cfg.cin_pad) * int(np.prod(cfg.upsample_scales))
     if hasattr(model, "speaker_code"):
         # NewINAE: continuous speaker code from the target utterance
         # (or self, for reconstruction) replaces the id embedding

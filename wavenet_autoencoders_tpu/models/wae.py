@@ -64,10 +64,15 @@ class WAEBase:
         )
 
     def decode(self, params, key, c, g=None, T=None, state=None, tar_c=None, **kw):
-        """AR generation conditioned on features c (B, T', c_in)."""
+        """AR generation conditioned on features c (B, T', c_in).
+
+        Default T accounts for the 2*cin_pad*prod(scales) context trim the
+        conditioning upsampler applies (``ops/upsample.py:64-71``, mirroring
+        reference ``wavenet_vocoder/upsample.py:69-85``): cin_pad latent
+        frames on each side are context, not audio."""
         lat = self.encode(params, state if state is not None else {}, c, tar_c=tar_c)
         if T is None:
-            T = lat.shape[1] * self.wavenet.cin_pad * 0 + lat.shape[1] * self._up_factor()
+            T = (lat.shape[1] - 2 * self.wavenet.cin_pad) * self._up_factor()
         return self.wavenet.decode(params["wavenet"], key, T, c=lat, g=g, **kw)
 
     def _up_factor(self):
@@ -343,4 +348,10 @@ class Vocoder:
         return y_hat, jnp.float32(0.0), jnp.float32(0.0), state
 
     def decode(self, params, key, c, g=None, T=None, state=None, tar_c=None, **kw):
+        if T is None:
+            import numpy as np
+
+            T = (c.shape[1] - 2 * self.wavenet.cin_pad) * int(
+                np.prod(self.wavenet.upsample_scales)
+            )
         return self.wavenet.decode(params["wavenet"], key, T, c=c, g=g, **kw)
