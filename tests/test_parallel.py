@@ -73,6 +73,39 @@ def test_tensor_parallel_rules_and_step():
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_tp_matches_single_device_numerics():
+    """TP=2 must reproduce TP=1 losses/grad-norms and the updated params —
+    not just compile (VERDICT r1 weak #2). Same step, same batch, same rng;
+    only the mesh layout differs, so any resharding/collective bug shows up
+    as a numeric drift."""
+    cfg = tiny_cfg(gate_channels=16)
+    model = build_model(cfg)
+    batch = tiny_batch(cfg, B=8)
+    rng = jax.random.PRNGKey(7)
+    step_fn = make_train_step(cfg, model, donate=False)
+
+    s_single = init_state(cfg, model, jax.random.PRNGKey(0))
+    n_single, m_single = step_fn(s_single, batch, rng)
+
+    cfg_tp = tiny_cfg(mesh_shape={"data": 4, "model": 2}, gate_channels=16)
+    mesh = make_mesh(cfg_tp)
+    s_tp = shard_state(init_state(cfg_tp, model, jax.random.PRNGKey(0)), mesh)
+    n_tp, m_tp = step_fn(s_tp, shard_batch(batch, mesh), rng)
+
+    np.testing.assert_allclose(float(m_single["loss"]), float(m_tp["loss"]), rtol=2e-3)
+    np.testing.assert_allclose(
+        float(m_single["grad_norm"]), float(m_tp["grad_norm"]), rtol=2e-3
+    )
+    # an updated param that the TP rules shard (gate conv kernel) and one
+    # they replicate (post2) must both match the single-device update
+    v1 = np.asarray(n_single.params["wavenet"]["layers"][0]["conv"]["v"])
+    v2 = np.asarray(n_tp.params["wavenet"]["layers"][0]["conv"]["v"])
+    np.testing.assert_allclose(v1, v2, rtol=2e-3, atol=1e-6)
+    p1 = np.asarray(n_single.params["wavenet"]["post2"]["v"])
+    p2 = np.asarray(n_tp.params["wavenet"]["post2"]["v"])
+    np.testing.assert_allclose(p1, p2, rtol=2e-3, atol=1e-6)
+
+
 def test_vq_ema_stats_are_global_under_dp():
     """Codebook EMA counts must reflect the GLOBAL batch, not a per-shard
     slice (SURVEY.md §7 hard parts)."""
