@@ -75,6 +75,9 @@ def main(argv=None):
     p.add_argument("--reset-optimizer", action="store_true")
     p.add_argument("--feat-type", default="mfcc")
     p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--coordinator", default=None, help="host:port for multi-host DCN init")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
 
     p = sub.add_parser("infer", help="export ABX representations")
     _add_cfg_args(p)
@@ -83,6 +86,7 @@ def main(argv=None):
     p.add_argument("dst_dir")
     p.add_argument("--feat", default="mfcc.norm")
     p.add_argument("--use-ema", action="store_true", default=True)
+    p.add_argument("--lan", default=None, help="submission language dir (else inferred from dump paths)")
 
     p = sub.add_parser("synthesize", help="voice-conversion synthesis")
     _add_cfg_args(p)
@@ -93,7 +97,8 @@ def main(argv=None):
     p.add_argument("speaker2ind")
     p.add_argument("lan")
     p.add_argument("--start-ind", type=int, default=0)
-    p.add_argument("--tar-utt-map", default=None, help="json: speaker -> mfcc.norm.npy for AdaIN")
+    p.add_argument("--tar-utt-map", default=None, help="json: speaker -> mfcc.norm.npy for AdaIN (default: auto from train dump)")
+    p.add_argument("--train-dump-root", default=None, help="train_no_dev dump dir for auto tar_c selection")
     p.add_argument("--batch", type=int, default=1, help="utterances decoded in parallel")
 
     args = ap.parse_args(argv)
@@ -121,8 +126,19 @@ def main(argv=None):
         apply_normalization(args.scp, args.feat, args.scaler, inverse=args.inverse)
 
     elif args.cmd == "train":
+        # multi-host (DCN): no-op single-process; >1 process when the
+        # JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID env
+        # vars (or --coordinator/--num-processes/--process-id) are set
+        from wavenet_autoencoders_tpu.parallel.distributed import (
+            initialize_distributed,
+        )
         from wavenet_autoencoders_tpu.train.loop import train
 
+        initialize_distributed(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
         cfg = _cfg_from(args)
         train(
             cfg,
@@ -141,7 +157,9 @@ def main(argv=None):
         model, params, state = _load_model(cfg, args.checkpoint, use_ema=args.use_ema)
         from wavenet_autoencoders_tpu.eval.infer import export_representations
 
-        export_representations(cfg, model, params, state, args.scp, args.dst_dir, feat=args.feat)
+        export_representations(
+            cfg, model, params, state, args.scp, args.dst_dir, feat=args.feat, lan=args.lan
+        )
 
     elif args.cmd == "synthesize":
         cfg = _cfg_from(args)
@@ -162,6 +180,7 @@ def main(argv=None):
             start_ind=args.start_ind,
             tar_utt_map=tar_map,
             batch=args.batch,
+            train_dump_root=args.train_dump_root,
         )
 
 

@@ -231,9 +231,18 @@ def data_iterator(
     prefetch: int = 2,
     epochs: int | None = None,
     use_native: bool = True,
+    host_slice: tuple[int, int] | None = None,
 ):
     """Yield collated batches forever (or for ``epochs``), with background
-    prefetching. Uses the C++ mmap loader when available."""
+    prefetching. Uses the C++ mmap loader when available.
+
+    host_slice=(start, size): multi-host mode — every host runs the same
+    deterministic sampler+collator over the GLOBAL batch (bit-identical
+    to single-host numerics, incl. crop RNG consumption) and yields only
+    its slice of it; the caller assembles the global device array via
+    ``parallel.distributed.make_global_batch``. Host-side IO stays
+    full-batch (mmap'd npy, cheap); device transfer is the slice only.
+    """
     bs = batch_size or cfg.batch_size
     sampler = LengthBucketSampler(dataset.lengths, bs, seed=seed)
     collate = Collator(cfg, seed=seed)
@@ -254,6 +263,9 @@ def data_iterator(
                     )
                     if b is None:
                         b = collate([dataset[i] for i in buf])
+                    if host_slice is not None:
+                        s, n = host_slice
+                        b = {k: v[s : s + n] for k, v in b.items()}
                     yield b
                     buf = []
             epoch += 1

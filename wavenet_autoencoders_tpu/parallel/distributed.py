@@ -59,3 +59,24 @@ def make_global_batch(local_arrays: dict, mesh) -> dict:
         sharding = NamedSharding(mesh, spec)
         out[k] = jax.make_array_from_process_local_data(sharding, np.asarray(v))
     return out
+
+
+def replicate_to_mesh(tree, mesh):
+    """Place a (host-identical) state pytree as globally-replicated arrays
+    on a possibly multi-host mesh. Every process passes the same full
+    values (deterministic init from the shared seed), so
+    ``make_array_from_process_local_data`` with an empty PartitionSpec
+    replicates without any cross-host transfer."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P())
+
+    def put(x):
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+    return jax.tree.map(put, tree)
+
+
+def is_main_process() -> bool:
+    """True on the process that owns logging/checkpoint writes."""
+    return jax.process_index() == 0

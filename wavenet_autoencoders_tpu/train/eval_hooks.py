@@ -53,7 +53,9 @@ def save_states(cfg: Config, step: int, y_hat_logits, batch, checkpoint_dir):
     (``vqwae_train.py:643-691``)."""
     out_dir = Path(checkpoint_dir) / "intermediate" / "audio"
     out_dir.mkdir(parents=True, exist_ok=True)
-    idx = int(np.random.randint(0, y_hat_logits.shape[0]))
+    # deterministic item pick: seeded by (cfg.seed, step) so reruns dump
+    # the same utterance (the reference used unseeded randint)
+    idx = int(np.random.default_rng(cfg.seed + step).integers(0, y_hat_logits.shape[0]))
     length = int(batch["lengths"][idx])
 
     y_hat = np.asarray(y_hat_logits[idx])
@@ -89,7 +91,7 @@ def eval_model(cfg: Config, model, params, state, step: int, batch, eval_dir, ke
     caller passes them."""
     out_dir = Path(eval_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    idx = int(np.random.randint(0, batch["c"].shape[0]))
+    idx = int(np.random.default_rng(cfg.seed + step).integers(0, batch["c"].shape[0]))
     c = np.asarray(batch["c"][idx : idx + 1])
     g = None
     if "g" in batch:

@@ -1,11 +1,25 @@
 """The training loop.
 
 Replaces ``train_loop`` / ``__main__`` of ``vqwae_train.py:801-875,
-1066-1149``: alternating train/dev phases, periodic checkpointing, stop at
-``max_train_steps``, KeyboardInterrupt checkpoints before exit, resolved
-config frozen into the checkpoint dir. Device placement/sharding comes from
-``parallel.mesh``; the step itself is the jitted function from
-``train.step``.
+1066-1149``: alternating train/dev phases with per-epoch averaged scalars,
+periodic checkpointing, stop at ``max_train_steps``, KeyboardInterrupt
+checkpoints before exit, resolved config frozen into the checkpoint dir.
+Device placement/sharding comes from ``parallel.mesh``; the step itself is
+the jitted function from ``train.step``.
+
+Epoch structure mirrors the reference exactly (``vqwae_train.py:823-875``):
+each epoch is one full pass over train_no_dev followed by one FULL pass
+over dev, per-phase averaged loss/vq/perplexity emitted per epoch, and the
+expensive AR decode on the dev phase runs once per
+``test_eval_epoch_interval`` epochs (``vqwae_train.py:839-841``).
+
+Multi-host (DCN): when ``jax.distributed`` is initialized with >1 process
+(``parallel.distributed.initialize_distributed``, called by the CLI), every
+process runs this same function; each host feeds its
+``host_local_batch_slice`` of the global batch and the arrays are assembled
+into globally-sharded jax.Arrays (``make_global_batch``) — the jitted step
+is identical at any host count. Only process 0 writes checkpoints, metrics
+and qualitative eval artifacts.
 """
 from __future__ import annotations
 
@@ -29,6 +43,7 @@ from wavenet_autoencoders_tpu.train.metrics import MetricsWriter
 from wavenet_autoencoders_tpu.train.step import (
     init_state,
     make_eval_step,
+    make_sample_forward,
     make_train_step,
 )
 
@@ -48,10 +63,19 @@ def train(
     mesh=None,
 ):
     """Run training; returns the final TrainState."""
+    from wavenet_autoencoders_tpu.parallel.distributed import (
+        host_local_batch_slice,
+        is_main_process,
+        make_global_batch,
+    )
+
+    n_proc = jax.process_count()
+    main = is_main_process()
     ckpt_dir = Path(checkpoint_dir)
-    ckpt_dir.mkdir(parents=True, exist_ok=True)
-    freeze_config(cfg, ckpt_dir)
-    writer = MetricsWriter(ckpt_dir / "logs")
+    if main:
+        ckpt_dir.mkdir(parents=True, exist_ok=True)
+        freeze_config(cfg, ckpt_dir)
+    writer = MetricsWriter(ckpt_dir / "logs") if main else None
 
     model = build_model(cfg)
     key = jax.random.PRNGKey(cfg.seed)
@@ -59,7 +83,8 @@ def train(
 
     if resume:
         state = load_checkpoint(state, resume, reset_optimizer=reset_optimizer)
-        print(f"resumed from {resume} at step {int(state.step)}")
+        if main:
+            print(f"resumed from {resume} at step {int(state.step)}")
     elif restore_parts_from:
         state = state.__class__(
             params=restore_parts(state.params, restore_parts_from),
@@ -73,13 +98,30 @@ def train(
         from wavenet_autoencoders_tpu.parallel.mesh import make_mesh_for_batch
 
         mesh = make_mesh_for_batch(cfg, cfg.batch_size)
-        print(f"mesh: {dict(mesh.shape)} over {mesh.devices.size} devices")
+        if main:
+            print(f"mesh: {dict(mesh.shape)} over {mesh.devices.size} devices")
     from wavenet_autoencoders_tpu.parallel.mesh import shard_batch, shard_state
 
-    state = shard_state(state, mesh)
+    if n_proc > 1:
+        # DP across hosts: params/opt/EMA replicated globally (TP spans a
+        # single host only, like the reference's single-host model); every
+        # process holds the identical seeded init so replication is local.
+        from wavenet_autoencoders_tpu.parallel.distributed import replicate_to_mesh
+
+        state = replicate_to_mesh(state, mesh)
+
+        def put_batch(b):
+            return make_global_batch(b, mesh)
+
+    else:
+        state = shard_state(state, mesh)
+
+        def put_batch(b):
+            return shard_batch(b, mesh)
 
     step_fn = make_train_step(cfg, model)
     eval_fn = make_eval_step(cfg, model)
+    fwd_fn = make_sample_forward(cfg, model)  # jitted once, reused each dump
     rng = jax.random.PRNGKey(cfg.seed + 1)
 
     train_ds = WaveDataset(dump_root, cfg, feat_type=feat_type)
@@ -88,11 +130,16 @@ def train(
         dev_ds = WaveDataset(dev_dump_root, cfg, feat_type=feat_type)
 
     limit = max_steps if max_steps is not None else cfg.max_train_steps
-    it = data_iterator(train_ds, cfg)
+    host_slice = host_local_batch_slice(cfg.batch_size) if n_proc > 1 else None
+    # epoch structure (vqwae_train.py:823-875): the sampler drops the
+    # ragged tail, so one epoch is len(ds) // batch_size steps
+    steps_per_epoch = max(1, len(train_ds) // cfg.batch_size)
+    it = data_iterator(train_ds, cfg, host_slice=host_slice)
     t0, last_log_step = time.time(), int(state.step)
     samples_per_batch = None
     metrics = None
     profiling = False
+    epoch_acc, epoch_n = None, 0
     ckpt = AsyncCheckpointer()
     try:
         for batch in it:
@@ -106,7 +153,7 @@ def train(
                 jax.profiler.stop_trace()
                 profiling = False
                 print(f"profile trace written to {cfg.profile_dir}")
-            batch = shard_batch(batch, mesh)
+            batch = put_batch(batch)
             samples_per_batch = batch["x"].shape[0] * batch["x"].shape[1]
             state, metrics = step_fn(state, batch, rng)
             step = int(state.step)
@@ -116,71 +163,151 @@ def train(
                 dt = time.time() - t0
                 sps = samples_per_batch * (step - last_log_step) / max(dt, 1e-9)
                 m["samples_per_sec"] = sps
-                writer.scalars(step, "train_no_dev", m)
-                print(
-                    f"step {step} loss {m['loss']:.4f} aux {m['aux_loss']:.4f} "
-                    f"perp {m['perplexity']:.1f} lr {m['lr']:.2e} {sps:,.0f} samp/s",
-                    flush=True,
-                )
+                if writer:
+                    writer.scalars(step, "train_no_dev", m)
+                if main:
+                    print(
+                        f"step {step} loss {m['loss']:.4f} aux {m['aux_loss']:.4f} "
+                        f"perp {m['perplexity']:.1f} lr {m['lr']:.2e} {sps:,.0f} samp/s",
+                        flush=True,
+                    )
                 t0, last_log_step = time.time(), step
 
-            if step > 0 and step % cfg.checkpoint_interval == 0:
-                ckpt.save(state, ckpt_dir, save_optimizer_state=cfg.save_optimizer_state)
-                if dev_ds is not None:
-                    _run_dev(cfg, eval_fn, state, dev_ds, writer, step, rng)
-                _try_save_states(cfg, model, state, step, batch, ckpt_dir)
+            # per-epoch running averages (vqwae_train.py:853-872)
+            m_ep = {
+                k: float(metrics[k]) for k in ("loss", "aux_loss", "perplexity")
+            }
+            epoch_acc = (
+                m_ep
+                if epoch_acc is None
+                else {k: epoch_acc[k] + m_ep[k] for k in m_ep}
+            )
+            epoch_n += 1
 
-            if step > 0 and step % cfg.train_eval_interval == 0:
+            if step > 0 and step % cfg.checkpoint_interval == 0:
+                if main:
+                    ckpt.save(state, ckpt_dir, save_optimizer_state=cfg.save_optimizer_state)
+                if n_proc == 1:
+                    # qualitative dumps are single-host only: they fetch
+                    # per-item slices of the (data-sharded) batch, which are
+                    # not process-addressable under multi-host
+                    _try_save_states(cfg, fwd_fn, state, step, batch, ckpt_dir)
+
+            if step > 0 and step % cfg.train_eval_interval == 0 and main and n_proc == 1:
                 _try_eval_model(cfg, model, state, step, batch, ckpt_dir)
+
+            if step % steps_per_epoch == 0:
+                epoch = step // steps_per_epoch
+                if writer and epoch_n:
+                    writer.scalars(
+                        epoch,
+                        "train_no_dev_epoch",
+                        {k: v / epoch_n for k, v in epoch_acc.items()},
+                    )
+                    print(
+                        f"Step {step} [train_no_dev] epoch {epoch} "
+                        f"loss {epoch_acc['loss'] / epoch_n:.4f}",
+                        flush=True,
+                    )
+                epoch_acc, epoch_n = None, 0
+                if dev_ds is not None:
+                    _run_dev(
+                        cfg, eval_fn, state, dev_ds, writer, step, epoch, rng,
+                        put_batch, n_proc,
+                        do_ar_eval=(
+                            main
+                            and n_proc == 1
+                            and epoch % cfg.test_eval_epoch_interval == 0
+                        ),
+                        model=model,
+                        ckpt_dir=ckpt_dir,
+                    )
+                t0, last_log_step = time.time(), step  # exclude dev time
     except KeyboardInterrupt:
         print("interrupted — saving checkpoint before exit")
-    if metrics is not None:
+    if metrics is not None and writer:
         writer.scalars(int(state.step), "train_no_dev", {k: float(v) for k, v in metrics.items()})
     ckpt.wait()
-    save_checkpoint(state, ckpt_dir, save_optimizer_state=cfg.save_optimizer_state)
-    writer.close()
+    if main:
+        save_checkpoint(state, ckpt_dir, save_optimizer_state=cfg.save_optimizer_state)
+    if writer:
+        writer.close()
     return state
 
 
-def _try_save_states(cfg, model, state, step, batch, ckpt_dir):
-    """Teacher-forced sample dump (vqwae_train.py:768-769) — best-effort."""
+def _try_save_states(cfg, fwd_fn, state, step, batch, ckpt_dir):
+    """Teacher-forced sample dump (vqwae_train.py:768-769) — best-effort,
+    through the cached jitted forward (no eager re-trace per call)."""
     try:
-        import jax as _jax
-
         from wavenet_autoencoders_tpu.train.eval_hooks import save_states
         from wavenet_autoencoders_tpu.train.step import _prep_x
 
         params = state.ema_params if state.ema_params is not None else state.params
-        y_hat, *_ = model.forward(
-            params, state.model_state, _jax.random.PRNGKey(step),
-            _prep_x(cfg, batch["x"]), batch.get("c"), batch.get("g"), train=False,
+        y_hat = fwd_fn(
+            params, state.model_state, jax.random.PRNGKey(step),
+            _prep_x(cfg, batch["x"]), batch.get("c"), batch.get("g"),
         )
         save_states(cfg, step, np.asarray(y_hat), batch, ckpt_dir)
     except Exception as e:  # qualitative eval must never kill training
         print(f"save_states skipped: {type(e).__name__}: {e}")
 
 
-def _try_eval_model(cfg, model, state, step, batch, ckpt_dir):
+def _try_eval_model(cfg, model, state, step, batch, ckpt_dir, phase="train_no_dev"):
     """Periodic full AR decode of a batch item (vqwae_train.py:772-774)."""
     try:
         from wavenet_autoencoders_tpu.train.eval_hooks import eval_model
 
         params = state.ema_params if state.ema_params is not None else state.params
-        eval_dir = Path(ckpt_dir) / "intermediate" / "train_no_dev_eval"
+        eval_dir = Path(ckpt_dir) / "intermediate" / f"{phase}_eval"
         eval_model(cfg, model, params, state.model_state, step, batch, eval_dir)
     except Exception as e:
         print(f"eval_model skipped: {type(e).__name__}: {e}")
 
 
-def _run_dev(cfg, eval_fn, state, dev_ds, writer, step, rng, max_batches: int = 10):
-    it = data_iterator(dev_ds, cfg, batch_size=cfg.dev_batch_size, prefetch=0, epochs=1)
+def _run_dev(
+    cfg,
+    eval_fn,
+    state,
+    dev_ds,
+    writer,
+    step,
+    epoch,
+    rng,
+    put_batch,
+    n_proc,
+    do_ar_eval=False,
+    model=None,
+    ckpt_dir=None,
+):
+    """FULL dev pass (one epoch over the dev loader, vqwae_train.py:824-875):
+    per-epoch averaged scalars; once per ``test_eval_epoch_interval`` epochs
+    an AR decode of a dev utterance (the reference's ``test_evaluated``
+    logic at :839-848)."""
+    from wavenet_autoencoders_tpu.parallel.distributed import host_local_batch_slice
+
+    bs = cfg.dev_batch_size
+    host_slice = host_local_batch_slice(bs) if n_proc > 1 else None
+    it = data_iterator(
+        dev_ds, cfg, batch_size=bs, prefetch=0, epochs=1, host_slice=host_slice
+    )
     acc, n = None, 0
-    for i, batch in enumerate(it):
-        if i >= max_batches:
-            break
+    first_batch = None
+    for batch in it:
+        batch = put_batch(batch)
+        if first_batch is None:
+            first_batch = batch
         m = eval_fn(state, batch, rng)
         m = {k: float(v) for k, v in m.items()}
         acc = m if acc is None else {k: acc[k] + m[k] for k in m}
         n += 1
-    if n:
-        writer.scalars(step, "dev", {k: v / n for k, v in acc.items()})
+    if n and writer:
+        avg = {k: v / n for k, v in acc.items()}
+        writer.scalars(step, "dev", avg)
+        writer.scalars(epoch, "dev_epoch", avg)
+        print(
+            f"Step {step} [dev] epoch {epoch} loss {avg['loss']:.4f} "
+            f"aux {avg['aux_loss']:.4f} perp {avg['perplexity']:.1f}",
+            flush=True,
+        )
+    if do_ar_eval and first_batch is not None and model is not None:
+        _try_eval_model(cfg, model, state, step, first_batch, ckpt_dir, phase="dev")

@@ -199,6 +199,21 @@ def make_train_step(cfg: Config, model, tx=None, donate: bool = True):
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
+def make_sample_forward(cfg: Config, model):
+    """A cached jitted teacher-forced forward returning y_hat only, for the
+    periodic ``save_states`` sample dump (vqwae_train.py:643-691) — avoids
+    the eager full-shape re-trace per checkpoint the r1 loop paid."""
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+
+    def fwd(params, model_state, rng, x, c, g):
+        y_hat, *_ = model.forward(
+            params, model_state, rng, x, c, g, train=False, dtype=dtype
+        )
+        return y_hat
+
+    return jax.jit(fwd)
+
+
 def make_eval_step(cfg: Config, model):
     """Forward-only metrics on the dev split (phase 'dev' of
     vqwae_train.py:824-859)."""
