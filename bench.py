@@ -14,10 +14,10 @@ Timing methodology: the experimental axon platform's block_until_ready can
 return early, so every measurement forces a scalar host transfer.
 
 Prints ONE JSON line. vs_baseline is the AR-synthesis speedup over the
-reference's per-sample Python loop (~150 samples/sec on GPU hosts for
-r9y9-style incremental_forward, i.e. ~0.009 audio-sec/sec — the loop at
-wavenet.py:299-339; the reference publishes no number, this is the widely
-reproduced order of magnitude).
+reference's per-sample Python loop (wavenet.py:299-339), MEASURED on this
+host by ``tools/time_reference_baseline.py`` (the reference publishes no
+number) and recorded in BASELINE_MEASURED.json; falls back to the widely
+reproduced ~150 samples/sec order of magnitude if the file is absent.
 """
 from __future__ import annotations
 
@@ -34,7 +34,18 @@ jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
-REF_SYNTH_AUDIO_SEC_PER_SEC = 150.0 / 16000.0
+
+def _ref_synth_baseline() -> tuple[float, str]:
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
+    try:
+        with open(p) as f:
+            d = json.load(f)
+        return float(d["reference_incremental_audio_sec_per_sec"]), "measured"
+    except Exception:
+        return 150.0 / 16000.0, "assumed"
+
+
+REF_SYNTH_AUDIO_SEC_PER_SEC, REF_BASELINE_KIND = _ref_synth_baseline()
 
 
 def _sync(x) -> float:
@@ -132,7 +143,8 @@ def main():
             "synth_T": Ts,
             "synth_us_per_step": round(dt_dec / Ts * 1e6, 1),
             "decoder": "pallas fused sequential-grid kernel, HBM ring arena (hbm_min_dilation=64)",
-            "ref_synth_audio_sec_per_sec_assumed": REF_SYNTH_AUDIO_SEC_PER_SEC,
+            "ref_synth_audio_sec_per_sec": REF_SYNTH_AUDIO_SEC_PER_SEC,
+            "ref_baseline_kind": REF_BASELINE_KIND,
         },
     }
     print(json.dumps(result))

@@ -1,0 +1,61 @@
+"""Bitrate metric, robust submission paths, and auto tar_c selection —
+VERDICT r1 items #9 and weak #6."""
+import numpy as np
+import pytest
+
+from wavenet_autoencoders_tpu.eval.infer import _out_path, bitrate
+from wavenet_autoencoders_tpu.eval.synthesize import build_tar_utt_map
+
+
+def test_bitrate_uniform_symbols():
+    # 4 equiprobable symbols at 25 Hz for 100 frames over 4 s:
+    # H = 2 bits, B = 100 * 2 / 4 = 50 bits/s
+    rows = np.repeat(np.eye(4, dtype=np.float64), 25, axis=0)
+    br = bitrate([rows], total_seconds=4.0)
+    np.testing.assert_allclose(br["entropy_bits"], 2.0, rtol=1e-12)
+    np.testing.assert_allclose(br["bitrate"], 50.0, rtol=1e-12)
+    assert br["n_distinct"] == 4 and br["n_frames"] == 100
+
+
+def test_bitrate_single_symbol_is_zero():
+    rows = np.zeros((50, 8))
+    br = bitrate([rows], total_seconds=2.0)
+    assert br["bitrate"] == 0.0 and br["n_distinct"] == 1
+
+
+def test_bitrate_keys_match_txt_precision():
+    # values that only differ beyond the %.6f written precision are the
+    # same submission symbol
+    a = np.array([[0.12345649]])
+    b = np.array([[0.123456451]])
+    br = bitrate([a, b], total_seconds=1.0)
+    assert br["n_distinct"] == 1
+
+
+def test_out_path_canonical_and_deep_roots():
+    # canonical: .../<lan>/test/<utt>
+    assert (
+        _out_path("dump/2019/english/test/S090_3000", "dst")
+        == "dst/2019/english/test/S090_3000.txt"
+    )
+    # deeper mount — still finds <lan>/test/<utt> at the tail
+    assert (
+        _out_path("/mnt/x/y/dump/2019/surprise/test/U1", "o")
+        == "o/2019/surprise/test/U1.txt"
+    )
+    # non-canonical root: explicit lan wins / is required
+    assert _out_path("/weird/flat/U2", "o", lan="english") == "o/2019/english/test/U2.txt"
+    with pytest.raises(ValueError):
+        _out_path("/weird/flat/U2", "o")
+
+
+def test_build_tar_utt_map_deterministic(tmp_path):
+    for name in ["V002_999", "V002_111", "V001_5", "S001_1"]:
+        d = tmp_path / name
+        d.mkdir()
+        np.save(d / "mfcc.norm.npy", np.zeros((3, 39), np.float32))
+    (tmp_path / "V003_7").mkdir()  # no feature file -> excluded
+    m = build_tar_utt_map(tmp_path, ["V001", "V002", "V003"])
+    assert m["V001"].endswith("V001_5/mfcc.norm.npy")
+    assert m["V002"].endswith("V002_111/mfcc.norm.npy")  # lexicographic first
+    assert "V003" not in m

@@ -23,10 +23,47 @@ import numpy as np
 from wavenet_autoencoders_tpu.config import Config
 
 
-def _out_path(base_dir: str, dst_dir: str) -> str:
+def _out_path(base_dir: str, dst_dir: str, lan: str | None = None) -> str:
+    """Submission path ``dst/2019/<lan>/test/<utt>.txt``
+    (``inference_2019.py:262``). <lan> is taken from the dump path's
+    ``<lan>/test/<utt>`` tail when present anywhere in it (robust to how
+    deep the dump root is mounted), else from the explicit ``lan`` arg."""
     parts = [p for p in str(base_dir).split("/") if p]
-    lan, fnm = parts[-3], parts[-1]
+    fnm = parts[-1]
+    if lan is None:
+        if len(parts) >= 3 and parts[-2] == "test":
+            lan = parts[-3]
+        else:
+            raise ValueError(
+                f"cannot infer <lan> from dump path {base_dir!r}; pass lan="
+            )
     return f"{dst_dir}/2019/{lan}/test/{fnm}.txt"
+
+
+def bitrate(latents: list[np.ndarray], total_seconds: float) -> dict:
+    """ZeroSpeech 2019 bitrate of the exported representations
+    (`bin/run_eval19.sh:20` scores ABX *and* bitrate): each latent frame is
+    one symbol s; B = (n/D) * H(S) with H the empirical symbol entropy in
+    bits and D the corpus duration in seconds — the challenge's definition.
+    Frames are keyed exactly as written to the txt files ('%.6f')."""
+    from collections import Counter
+
+    counts: Counter = Counter()
+    n = 0
+    for lat in latents:
+        for row in np.asarray(lat):
+            counts[tuple(np.round(row.astype(np.float64), 6))] += 1
+            n += 1
+    if n == 0 or total_seconds <= 0:
+        return {"bitrate": 0.0, "n_frames": 0, "n_distinct": 0, "entropy_bits": 0.0}
+    p = np.array(list(counts.values()), np.float64) / n
+    H = float(-(p * np.log2(p)).sum())
+    return {
+        "bitrate": n * H / total_seconds,
+        "n_frames": n,
+        "n_distinct": len(counts),
+        "entropy_bits": H,
+    }
 
 
 def export_representations(
@@ -39,8 +76,12 @@ def export_representations(
     feat: str = "mfcc.norm",
     batch_size: int = 8,
     pad_multiple: int | None = None,
+    lan: str | None = None,
+    compute_bitrate: bool = True,
 ):
-    """Encode every utterance in the scp json and write ABX txt files."""
+    """Encode every utterance in the scp json and write ABX txt files,
+    plus a ``bitrate.json`` health metric for the quantizer (the challenge
+    scores ABX *and* bitrate)."""
     file_list = json.load(open(scp_path))
     ds = 100 // cfg.frame_rate if pad_multiple is None else pad_multiple
 
@@ -66,6 +107,8 @@ def export_representations(
         return model.encode(params, state, c)
 
     n = 0
+    exported: list[np.ndarray] = []
+    total_frames = 0
     for bucket, group in sorted(buckets.items()):
         for i in range(0, len(group), batch_size):
             chunk = group[i : i + batch_size]
@@ -76,9 +119,19 @@ def export_representations(
             for j, (base_dir, _x, T, _b) in enumerate(chunk):
                 n_lat = min(lat.shape[1], -(-T // ds))  # ceil(T/ds)
                 out = lat[j, :n_lat]
-                path = _out_path(base_dir, dst_dir)
+                path = _out_path(base_dir, dst_dir, lan=lan)
                 os.makedirs(os.path.dirname(path), exist_ok=True)
                 np.savetxt(path, out, fmt="%.6f")
+                if compute_bitrate:
+                    exported.append(out)
+                total_frames += n_lat
                 n += 1
+    if compute_bitrate and n:
+        # latent frames tick at frame_rate Hz -> corpus duration in seconds
+        br = bitrate(exported, total_frames / float(cfg.frame_rate))
+        with open(os.path.join(dst_dir, "bitrate.json"), "w") as f:
+            json.dump(br, f, indent=2)
+        print(f"bitrate: {br['bitrate']:.1f} bits/s over {br['n_frames']} frames "
+              f"({br['n_distinct']} distinct symbols)")
     print(f"exported {n} representations -> {dst_dir}")
     return n

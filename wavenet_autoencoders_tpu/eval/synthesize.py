@@ -136,6 +136,26 @@ def wavegen(
     return y[0]
 
 
+def build_tar_utt_map(
+    train_dump_root: str, speakers, feat: str = "mfcc.norm"
+) -> dict:
+    """Auto-select one fixed target utterance per speaker for AdaIN tar_c,
+    matching the reference's per-speaker fixed choice
+    (``synthesis.py:500-519`` hardcodes e.g. V002_4290703572 from the
+    train_no_dev dump) — here the lexicographically first ``<spk>_*``
+    utterance dir with the feature present, which is deterministic across
+    runs."""
+    root = Path(train_dump_root)
+    out = {}
+    for spk in speakers:
+        cands = sorted(
+            d for d in root.glob(f"{spk}_*") if (d / f"{feat}.npy").exists()
+        )
+        if cands:
+            out[spk] = str(cands[0] / f"{feat}.npy")
+    return out
+
+
 def run_synthesis_list(
     cfg: Config,
     model,
@@ -150,18 +170,31 @@ def run_synthesis_list(
     tar_utt_map: dict | None = None,
     key=None,
     batch: int = 4,
+    train_dump_root: str | None = None,
 ):
     """Voice-conversion loop (``synthesis.py:473-529``).
 
     syn_list lines: "<utt_dir> <target_speaker>"; IN-family models
     additionally load a fixed target-speaker utterance (tar_utt_map:
     speaker -> mfcc.norm.npy path) for AdaIN re-styling
-    (``synthesis.py:500-519``).
+    (``synthesis.py:500-519``). When no map is given it is built
+    automatically from the sibling ``train_no_dev`` dump dir (or
+    ``train_dump_root``), like the reference's fixed per-speaker choices.
     """
     lines = [l.strip() for l in open(syn_list_path) if l.strip()]
     sp2ind = json.load(open(speaker2ind_path))
     key = jax.random.PRNGKey(cfg.seed) if key is None else key
     needs_tar = cfg.name.lower() in ("inae", "inae1", "new_inae")
+    if needs_tar and not tar_utt_map:
+        root = (
+            Path(train_dump_root)
+            if train_dump_root
+            else Path(dump_root).parent / "train_no_dev"
+        )
+        targets = {l.split()[1] for l in lines}
+        tar_utt_map = build_tar_utt_map(root, sorted(targets))
+        if tar_utt_map:
+            print(f"auto tar_c map from {root}: {tar_utt_map}", flush=True)
 
     out_dir = Path(dst_dir) / "2019" / lan / "test"
     out_dir.mkdir(parents=True, exist_ok=True)
