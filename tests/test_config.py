@@ -71,3 +71,15 @@ def test_derived_quantities():
     assert cfg.get_win_length() == 400
     # 160 * (100//25) = 640 samples per latent frame (SURVEY §2.1 upsampler row)
     assert cfg.up_factor == 640
+
+
+def test_parse_rejects_unknown_cli_keys():
+    # tfcompat/hparam.py:548-551 parity: a typo'd CLI override must raise,
+    # not silently train with defaults (VERDICT r2 weak #4)
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown hyperparameter"):
+        Config().parse("learning_rte=1e-4")
+    # preset JSON files stay tolerant (extras)
+    cfg = Config().parse_json(json.dumps({"future_flag": 1}))
+    assert cfg.extras["future_flag"] == 1

@@ -173,3 +173,19 @@ def test_06_synthesize_voice_conversion(pipeline):
     assert len(wavs) == 1 and wavs[0].name == "V001_3000.wav"
     sr, y = wavfile.read(wavs[0])
     assert sr == SR and len(y) > 1000
+
+
+def test_04b_nepochs_bounds_training(pipeline):
+    """cfg.nepochs stops the loop like the reference's epoch-bounded loop
+    (vqwae_train.py:801) even when max_train_steps is far away."""
+    dump = pipeline["dump"] / "english/train_no_dev"
+    ckpt = pipeline["root"] / "ckpt_nepochs"
+    cli([
+        "train", "--preset", "svqwae",
+        "--hparams", OVERRIDES + ",nepochs=1,max_train_steps=100000",
+        str(dump), str(ckpt),
+    ])
+    logs = (ckpt / "logs/metrics.jsonl").read_text().splitlines()
+    steps = [json.loads(l)["step"] for l in logs if "loss" in json.loads(l)]
+    # 8 utterances / batch 2 = 4 steps per epoch, 1 epoch allowed
+    assert max(steps) == 4

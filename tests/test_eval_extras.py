@@ -59,3 +59,20 @@ def test_build_tar_utt_map_deterministic(tmp_path):
     assert m["V001"].endswith("V001_5/mfcc.norm.npy")
     assert m["V002"].endswith("V002_111/mfcc.norm.npy")  # lexicographic first
     assert "V003" not in m
+
+
+def test_bitrate_guarded_to_discrete_models():
+    """bitrate.json only for VQ/Gumbel latents (VERDICT r2 weak #5)."""
+    from wavenet_autoencoders_tpu.config import load_preset
+    from wavenet_autoencoders_tpu.eval.infer import _has_discrete_codes
+    from wavenet_autoencoders_tpu.models import build_model
+
+    small = (
+        "layers=4,stacks=2,residual_channels=8,gate_channels=12,"
+        "skip_out_channels=8,encoder_hid=16,cin_channels=8,K=8"
+    )
+    expected = {"svqwae": True, "vqwae": True, "catae": True,
+                "wvae": False, "inae": False}
+    for preset, want in expected.items():
+        model = build_model(load_preset(preset, small))
+        assert _has_discrete_codes(model) is want, preset

@@ -187,6 +187,13 @@ class Config:
     adain: bool = False           # AdaIN speaker re-styling
     time_jitter: bool = False     # Chorowski time-jitter regularizer
     time_jitter_prob: float = 0.12
+    # True (default) replaces each latent frame by its left/right neighbour
+    # with prob `time_jitter_prob` PER SIDE (total 2*prob) — a documented
+    # deviation kept for continuity with earlier checkpoints of this repo;
+    # False matches Chorowski et al.: replaced with total prob
+    # `time_jitter_prob`, direction uniform. (The upstream model is
+    # gitignored, so the reference reading is unrecoverable.)
+    time_jitter_per_side: bool = True
     vq_drop: bool = False         # VQ dropout
     drop_dim: int = 0
     beta: float = 0.25            # VQ commitment weight
@@ -232,8 +239,13 @@ class Config:
 
     # -- "k=v,..." override layer (parse parity, tfcompat/hparam.py:523) --
     def parse(self, spec: str) -> "Config":
+        """CLI override string. Unknown keys RAISE, like the vendored TF
+        HParams (``tfcompat/hparam.py:548-551``) — a typo'd override must
+        not silently train with defaults. Preset *files* stay tolerant
+        (unknown JSON keys land in ``extras``, see ``override``)."""
         if not spec:
             return self
+        known = {f.name for f in dataclasses.fields(self)} - {"extras"}
         pos, updates = 0, {}
         while pos < len(spec):
             m = _PARAM_RE.match(spec, pos)
@@ -241,6 +253,12 @@ class Config:
                 raise ValueError(f"malformed hyperparameter string: {spec[pos:]!r}")
             pos = m.end()
             name = m.group("name")
+            if name not in known:
+                raise ValueError(
+                    f"unknown hyperparameter {name!r} in override string "
+                    "(CLI overrides accept known keys only; put experimental "
+                    "keys in a preset JSON, where they land in extras)"
+                )
             current = getattr(self, name, None)
             if m.group("json") is not None:
                 updates[name] = json.loads(m.group("json"))

@@ -143,6 +143,16 @@ class Collator:
         assert self.max_frames % ds == 0, (
             f"max_time_steps/hop={self.max_frames} not divisible by 100/frame_rate={ds}"
         )
+        if not cfg.upsample_conditional_features:
+            # no-upsampler training repeats frames to sample rate on device
+            # (WaveNet._align_conditioning; reference repeats via
+            # audio.adjust_time_resolution, vqwae_train.py:481). A cin_pad
+            # context window cannot survive a plain repeat — the reference's
+            # own no-upsampler configs require cin_pad=0 too (its forward
+            # has no trim either, wavenet_vocoder/wavenet.py:195-199).
+            assert cfg.cin_pad == 0, (
+                "upsample_conditional_features=false requires cin_pad=0"
+            )
 
     def __call__(self, items) -> dict:
         cfg = self.cfg
@@ -228,10 +238,11 @@ def data_iterator(
     cfg: Config,
     batch_size: int | None = None,
     seed: int = 0,
-    prefetch: int = 2,
+    prefetch: int = 3,
     epochs: int | None = None,
     use_native: bool = True,
     host_slice: tuple[int, int] | None = None,
+    transform=None,
 ):
     """Yield collated batches forever (or for ``epochs``), with background
     prefetching. Uses the C++ mmap loader when available.
@@ -242,6 +253,12 @@ def data_iterator(
     its slice of it; the caller assembles the global device array via
     ``parallel.distributed.make_global_batch``. Host-side IO stays
     full-batch (mmap'd npy, cheap); device transfer is the slice only.
+
+    transform: optional per-batch function applied INSIDE the prefetch
+    thread — pass the device-put/shard function here so host→device
+    transfer overlaps device compute (jax dispatch is thread-safe), the
+    replacement for the reference DataLoader's ``pin_memory`` + async H2D
+    (``vqwae_train.py:1045-1048``).
     """
     bs = batch_size or cfg.batch_size
     sampler = LengthBucketSampler(dataset.lengths, bs, seed=seed)
@@ -271,7 +288,8 @@ def data_iterator(
             epoch += 1
 
     if prefetch <= 0:
-        yield from gen()
+        for b in gen():
+            yield transform(b) if transform is not None else b
         return
 
     q: queue.Queue = queue.Queue(maxsize=prefetch)
@@ -280,6 +298,8 @@ def data_iterator(
     def worker():
         try:
             for b in gen():
+                if transform is not None:
+                    b = transform(b)
                 q.put(b)
         finally:
             q.put(_END)

@@ -66,6 +66,14 @@ def bitrate(latents: list[np.ndarray], total_seconds: float) -> dict:
     }
 
 
+def _has_discrete_codes(model) -> bool:
+    """True when ``model.encode`` emits quantized (finite-alphabet) frames."""
+    from wavenet_autoencoders_tpu.models.mfcc_ae import CatMfccAE
+    from wavenet_autoencoders_tpu.models.wae import CatWAE, VQWAE
+
+    return isinstance(model, (VQWAE, CatWAE, CatMfccAE))
+
+
 def export_representations(
     cfg: Config,
     model,
@@ -84,6 +92,18 @@ def export_representations(
     scores ABX *and* bitrate)."""
     file_list = json.load(open(scp_path))
     ds = 100 // cfg.frame_rate if pad_multiple is None else pad_multiple
+
+    if compute_bitrate and not _has_discrete_codes(model):
+        # Symbol-entropy bitrate is only meaningful for quantized latents
+        # (VQ / Gumbel): a continuous latent makes every frame a distinct
+        # symbol, so the "bitrate" degenerates to n*log2(n)/D — a number the
+        # challenge would reject. Warn and skip rather than emit garbage.
+        print(
+            f"bitrate.json skipped: model {type(model).__name__} has a "
+            "continuous latent; the ZeroSpeech symbol-entropy bitrate is "
+            "defined for discrete (VQ/Gumbel) codes only"
+        )
+        compute_bitrate = False
 
     # group utterances by padded frame length -> few jit specializations
     items = []

@@ -52,8 +52,9 @@ def _pad_frames(cfg: Config, c: np.ndarray) -> np.ndarray:
 
 
 def _use_pallas_decode(cfg: Config) -> bool:
-    """The fused decode kernel covers the mu-law path on real TPUs."""
-    if not cfg.is_mulaw_quantize or cfg.kernel_size != 3:
+    """The fused decode kernel covers both the mu-law-quantize path and the
+    scalar (raw/mulaw + MoL/MoG) path on real TPUs (kernel_size 3)."""
+    if cfg.kernel_size != 3:
         return False
     if str(cfg.extras.get("use_pallas_decode", "auto")) == "never":
         return False
@@ -76,9 +77,19 @@ def batch_wavegen(
     c = _pad_frames_batch(cfg, c)
     tar_j = None if tar_c is None else jnp.asarray(tar_c)
     lat = model.encode(params, state, jnp.asarray(c), tar_c=tar_j)
-    # audio samples = (latent frames - 2*cin_pad context) * prod(scales)
-    # (the upsampler trims the cin_pad indent, ops/upsample.py:64-71)
-    T = (lat.shape[1] - 2 * cfg.cin_pad) * int(np.prod(cfg.upsample_scales))
+    if cfg.upsample_conditional_features:
+        # audio samples = (latent frames - 2*cin_pad context) * prod(scales)
+        # (the upsampler trims the cin_pad indent, ops/upsample.py:64-71)
+        T = (lat.shape[1] - 2 * cfg.cin_pad) * int(np.prod(cfg.upsample_scales))
+    else:
+        # no upsample net: the reference repeats conditioning by up_factor on
+        # the host and sets length = frames * up_factor
+        # (synthesis.py:335-339); the repeat itself happens on device in
+        # WaveNet._align_conditioning. AE-family latents tick at frame_rate
+        # Hz (up_factor samples per frame); plain vocoder conditioning ticks
+        # at the hop rate.
+        upf = cfg.up_factor if hasattr(model, "frame_rate") else cfg.get_hop_size()
+        T = lat.shape[1] * upf
     if hasattr(model, "speaker_code"):
         # NewINAE: continuous speaker code from the target utterance
         # (or self, for reconstruction) replaces the id embedding

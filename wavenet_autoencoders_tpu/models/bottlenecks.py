@@ -284,13 +284,23 @@ def adain(content: jnp.ndarray, style: jnp.ndarray, eps: float = 1e-5) -> jnp.nd
     return instance_norm(content, eps) * s_std + s_mean
 
 
-def time_jitter(rng, z: jnp.ndarray, prob: float = 0.12) -> jnp.ndarray:
-    """Chorowski time-jitter: each latent frame is independently replaced by
-    its left/right neighbour with probability ``prob`` each (hparam
-    ``time_jitter`` of the gitignored VQVAE)."""
+def time_jitter(
+    rng, z: jnp.ndarray, prob: float = 0.12, per_side: bool = True
+) -> jnp.ndarray:
+    """Chorowski time-jitter (hparam ``time_jitter`` of the gitignored
+    VQVAE). Two readings, selected by ``per_side`` (the upstream model is
+    unrecoverable, so the choice is configurable and documented):
+
+    - per_side=True (this repo's historical default): each latent frame is
+      replaced by its left/right neighbour with probability ``prob`` EACH
+      (total replacement prob 2*prob);
+    - per_side=False (Chorowski et al. 2019, §3.1): replaced with total
+      probability ``prob``, direction uniform.
+    """
     B, T, D = z.shape
     u = jax.random.uniform(rng, (B, T))
-    shift = jnp.where(u < prob, -1, jnp.where(u > 1.0 - prob, 1, 0))
+    p = prob if per_side else prob / 2.0
+    shift = jnp.where(u < p, -1, jnp.where(u > 1.0 - p, 1, 0))
     idx = jnp.clip(jnp.arange(T)[None, :] + shift, 0, T - 1)
     return jnp.take_along_axis(z, idx[:, :, None], axis=1)
 

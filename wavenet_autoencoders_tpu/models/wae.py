@@ -72,6 +72,12 @@ class WAEBase:
         frames on each side are context, not audio."""
         lat = self.encode(params, state if state is not None else {}, c, tar_c=tar_c)
         if T is None:
+            if not self.wavenet.upsample_conditional_features:
+                raise ValueError(
+                    "pass T explicitly when upsample_conditional_features is "
+                    "off (T = latent frames * sample_rate // frame_rate; see "
+                    "eval.synthesize.batch_wavegen)"
+                )
             T = (lat.shape[1] - 2 * self.wavenet.cin_pad) * self._up_factor()
         return self.wavenet.decode(params["wavenet"], key, T, c=lat, g=g, **kw)
 
@@ -121,6 +127,7 @@ class VQWAE(WAEBase):
     adain: bool = False
     use_time_jitter: bool = False
     time_jitter_prob: float = 0.12
+    time_jitter_per_side: bool = True
     vq_drop: bool = False
     drop_dim: int = 0
 
@@ -167,7 +174,9 @@ class VQWAE(WAEBase):
     def _post_vq(self, params, q, rng, train, dtype=None):
         if train and self.use_time_jitter and rng is not None:
             rng, sk = jax.random.split(rng)
-            q = bn.time_jitter(sk, q, self.time_jitter_prob)
+            q = bn.time_jitter(
+                sk, q, self.time_jitter_prob, per_side=self.time_jitter_per_side
+            )
         if self.post_conv:
             from wavenet_autoencoders_tpu.ops.conv import conv1d_apply
 

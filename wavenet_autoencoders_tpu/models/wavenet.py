@@ -170,6 +170,28 @@ class WaveNet:
             dtype=dtype,
         )
 
+    def _align_conditioning(self, params, c, T, dtype=None, upsampled=False):
+        """Bring conditioning to sample rate (length T).
+
+        With an upsample net this is the learned upsampler; without one the
+        reference repeats each frame ``up_factor`` times on the host
+        (``synthesis.py:335-339`` and ``audio.adjust_time_resolution`` in
+        the training collate, ``vqwae_train.py:481``) — here the repeat is
+        an on-device ``jnp.repeat`` so both train and decode work with
+        ``upsample_conditional_features=false``."""
+        if c is None:
+            return None
+        if not upsampled:
+            c = self.upsample_conditioning(params, c, dtype=dtype)
+        if not self.upsample_conditional_features and c.shape[1] != T:
+            assert T % c.shape[1] == 0, (
+                f"T={T} is not a multiple of conditioning frames {c.shape[1]} "
+                "(no-upsampler repeat path)"
+            )
+            c = jnp.repeat(c, T // c.shape[1], axis=1)
+        assert c.shape[1] == T, f"conditioning {c.shape} vs T={T}"
+        return c
+
     def apply(
         self,
         params: dict,
@@ -193,9 +215,7 @@ class WaveNet:
         """
         B, T = x.shape[0], x.shape[1]
         g_feat = self._global_features(params, g)
-        if c is not None and not upsampled:
-            c = self.upsample_conditioning(params, c, dtype=dtype)
-            assert c.shape[1] == T, f"upsampled c {c.shape} vs x {x.shape}"
+        c = self._align_conditioning(params, c, T, dtype=dtype, upsampled=upsampled)
 
         if x.ndim == 2 and jnp.issubdtype(x.dtype, jnp.integer):
             # integer-code fast path: the first 1x1 over a one-hot input is
@@ -375,9 +395,7 @@ class WaveNet:
         else:
             B = 1
         g_feat = self._global_features(params, g)
-        if c is not None and not upsampled:
-            c = self.upsample_conditioning(params, c, dtype=dtype)
-            assert c.shape[1] == T, f"upsampled c {c.shape} != T {T}"
+        c = self._align_conditioning(params, c, T, dtype=dtype, upsampled=upsampled)
 
         if initial_input is None:
             if self.scalar_input:
@@ -430,18 +448,16 @@ class WaveNet:
         HBM (double-buffered prefetch) whenever the batch exceeds the
         all-VMEM ceiling of 32 — B=256 sustains ~248 audio-sec/s/chip on a
         v5e vs ~110 at the B=32 VMEM ceiling.
-        mu-law-quantize path only; returns (codes (B,T) int32,
-        logits (B,T,O))."""
+        Returns (codes (B,T) int32, logits (B,T,O)) for mu-law-quantize, or
+        (samples (B,T) float in [-1,1], mixture params) for scalar input —
+        in-kernel MoL/MoG sampling (reference wavenet.py:325-338)."""
         from wavenet_autoencoders_tpu.kernels.decode import (
             pack_decode_weights,
             precompute_g_add,
             wavenet_decode_pallas,
         )
 
-        assert not self.scalar_input, "pallas decode covers the mu-law path"
-        if c is not None and not upsampled:
-            c = self.upsample_conditioning(params, c)
-            assert c.shape[1] == T
+        c = self._align_conditioning(params, c, T, upsampled=upsampled)
         if hbm_min_dilation == "auto":
             B = c.shape[0] if c is not None else 1
             big = max(self.dilation(i) for i in range(self.layers))

@@ -89,6 +89,7 @@ def build_model(cfg: Config):
             adain=cfg.adain,
             use_time_jitter=cfg.time_jitter,
             time_jitter_prob=cfg.time_jitter_prob,
+            time_jitter_per_side=cfg.time_jitter_per_side,
             vq_drop=cfg.vq_drop,
             drop_dim=cfg.drop_dim,
         )

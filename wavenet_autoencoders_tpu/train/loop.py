@@ -134,8 +134,19 @@ def train(
     # epoch structure (vqwae_train.py:823-875): the sampler drops the
     # ragged tail, so one epoch is len(ds) // batch_size steps
     steps_per_epoch = max(1, len(train_ds) // cfg.batch_size)
-    it = data_iterator(train_ds, cfg, host_slice=host_slice)
-    t0, last_log_step = time.time(), int(state.step)
+    # Single-host: device_put runs inside the prefetch thread so H2D
+    # overlaps compute. Multi-host: make_global_batch stays on the main
+    # thread (its per-process ordering must match across hosts).
+    it = data_iterator(
+        train_ds, cfg, host_slice=host_slice,
+        transform=put_batch if n_proc == 1 else None,
+    )
+    # `step` is a HOST mirror of the device counter: reading
+    # ``int(state.step)`` every iteration would force a device sync per
+    # step (expensive through the tunneled-TPU transport) and serialize
+    # the pipeline.
+    step = int(state.step)
+    t0, last_log_step = time.time(), step
     samples_per_batch = None
     metrics = None
     profiling = False
@@ -143,23 +154,24 @@ def train(
     ckpt = AsyncCheckpointer()
     try:
         for batch in it:
-            if int(state.step) >= limit:
+            if step >= limit:
                 break
             # first-class profiling hook (SURVEY §5): trace steps 10..15
-            if cfg.profile_dir and int(state.step) == 10 and not profiling:
+            if cfg.profile_dir and step == 10 and not profiling:
                 jax.profiler.start_trace(cfg.profile_dir)
                 profiling = True
-            if profiling and int(state.step) >= 15:
+            if profiling and step >= 15:
                 jax.profiler.stop_trace()
                 profiling = False
                 print(f"profile trace written to {cfg.profile_dir}")
-            batch = put_batch(batch)
+            if n_proc > 1:
+                batch = put_batch(batch)
             samples_per_batch = batch["x"].shape[0] * batch["x"].shape[1]
             state, metrics = step_fn(state, batch, rng)
-            step = int(state.step)
+            step += 1
 
             if step % log_every == 0 or step == 1:
-                m = {k: float(v) for k, v in metrics.items()}
+                m = {k: float(v) for k, v in metrics.items()}  # the only sync
                 dt = time.time() - t0
                 sps = samples_per_batch * (step - last_log_step) / max(dt, 1e-9)
                 m["samples_per_sec"] = sps
@@ -173,10 +185,10 @@ def train(
                     )
                 t0, last_log_step = time.time(), step
 
-            # per-epoch running averages (vqwae_train.py:853-872)
-            m_ep = {
-                k: float(metrics[k]) for k in ("loss", "aux_loss", "perplexity")
-            }
+            # per-epoch running averages (vqwae_train.py:853-872) — summed
+            # ON DEVICE (3 async scalar adds); float()ing here would block
+            # the pipeline every step
+            m_ep = {k: metrics[k] for k in ("loss", "aux_loss", "perplexity")}
             epoch_acc = (
                 m_ep
                 if epoch_acc is None
@@ -199,14 +211,11 @@ def train(
             if step % steps_per_epoch == 0:
                 epoch = step // steps_per_epoch
                 if writer and epoch_n:
-                    writer.scalars(
-                        epoch,
-                        "train_no_dev_epoch",
-                        {k: v / epoch_n for k, v in epoch_acc.items()},
-                    )
+                    avg_ep = {k: float(v) / epoch_n for k, v in epoch_acc.items()}
+                    writer.scalars(epoch, "train_no_dev_epoch", avg_ep)
                     print(
                         f"Step {step} [train_no_dev] epoch {epoch} "
-                        f"loss {epoch_acc['loss'] / epoch_n:.4f}",
+                        f"loss {avg_ep['loss']:.4f}",
                         flush=True,
                     )
                 epoch_acc, epoch_n = None, 0
@@ -223,6 +232,12 @@ def train(
                         ckpt_dir=ckpt_dir,
                     )
                 t0, last_log_step = time.time(), step  # exclude dev time
+                if epoch >= cfg.nepochs:
+                    # reference bounds training by epochs AND steps
+                    # (vqwae_train.py:801: `for epoch in range(nepochs)`)
+                    if main:
+                        print(f"stopping: reached nepochs={cfg.nepochs}")
+                    break
     except KeyboardInterrupt:
         print("interrupted — saving checkpoint before exit")
     if metrics is not None and writer:
