@@ -123,3 +123,67 @@ def test_hbm_ring_equal_dilation_layers_do_not_alias():
         hbm_min_dilation=4,
     )
     np.testing.assert_allclose(np.asarray(lh), np.asarray(lv), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# scalar-input path (raw / mulaw + MoL/MoG head) — VERDICT r2 item 4
+# ---------------------------------------------------------------------------
+
+
+def scalar_net(**kw):
+    d = dict(out_channels=30, scalar_input=True, output_distribution="Logistic")
+    d.update(kw)
+    return tiny_net(**d)
+
+
+def test_scalar_teacher_forced_logits_match_batch_forward():
+    net = scalar_net()
+    params = net.init(jax.random.PRNGKey(0))
+    B, T = 2, 12
+    x = jax.random.uniform(jax.random.PRNGKey(1), (B, T, 1), minval=-1, maxval=1)
+    c = jax.random.normal(jax.random.PRNGKey(2), (B, T, 5))
+    g = jnp.array([1, 3])
+    y_ref = net.apply(params, x, c, g, upsampled=True)
+
+    packed = pack_decode_weights(net, params)
+    g_add = precompute_g_add(net, params, g)
+    samples, mixp = wavenet_decode_pallas(
+        net, packed, T, seed=0, c_up=c, g_add=g_add, teach=x[..., 0],
+        teacher=True, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(mixp), np.asarray(y_ref), atol=2e-4)
+
+
+def test_scalar_free_running_in_range_and_seeded():
+    net = scalar_net(cin_channels=5, gin_channels=-1, use_speaker_embedding=False)
+    params = net.init(jax.random.PRNGKey(3))
+    B, T = 2, 10
+    c = jax.random.normal(jax.random.PRNGKey(4), (B, T, 5))
+    packed = pack_decode_weights(net, params)
+    s1, _ = wavenet_decode_pallas(net, packed, T, seed=7, c_up=c, interpret=True)
+    s2, _ = wavenet_decode_pallas(net, packed, T, seed=7, c_up=c, interpret=True)
+    assert s1.shape == (B, T) and s1.dtype == jnp.float32
+    a = np.asarray(s1)
+    assert np.isfinite(a).all() and (a >= -1).all() and (a <= 1).all()
+    np.testing.assert_array_equal(a, np.asarray(s2))
+
+
+@pytest.mark.parametrize("dist", ["Logistic", "Normal"])
+def test_scalar_sampler_follows_mixture(dist):
+    """Zero all weights, pin the mixture params via the output bias: means
+    at 0.5, log-scales at -10 (scale ~ 5e-5) -> every sample must be ~0.5
+    regardless of the mixture picked (exact mixture.py:118-156 semantics)."""
+    net = scalar_net(
+        cin_channels=-1, gin_channels=-1, use_speaker_embedding=False,
+        output_distribution=dist,
+    )
+    params = net.init(jax.random.PRNGKey(5))
+    packed = pack_decode_weights(net, params)
+    packed = {k: jnp.zeros_like(v) for k, v in packed.items()}
+    M = net.out_channels // 3
+    bp2 = np.zeros(net.out_channels, np.float32)
+    bp2[M : 2 * M] = 0.5    # means
+    bp2[2 * M :] = -10.0    # log scales
+    packed["bp2"] = jnp.asarray(bp2)
+    samples, _ = wavenet_decode_pallas(net, packed, 16, seed=11, interpret=True)
+    np.testing.assert_allclose(np.asarray(samples), 0.5, atol=1e-2)

@@ -17,11 +17,18 @@ further: ``grid=(T,)`` executes sequentially on a TPU core, so
   in-kernel on the TPU PRNG, so there is zero host↔device traffic and
   zero per-step dispatch.
 
-Scope: the mu-law-quantize path every bundled preset uses (one-hot input ==
-row-gather of the input 1x1; kernel_size 3). Teacher-forcing mode feeds
-ground-truth codes instead of samples — the equivalence test against the
-batch forward, same as the reference's ``test_inputs`` hook
-(``wavenet.py:249``).
+Scope: kernel_size 3 (all presets), both input families —
+
+- mu-law-quantize: one-hot input == row-gather of the input 1x1,
+  in-kernel categorical (Gumbel-argmax) sampling;
+- scalar (raw / mulaw, the reference hparams.py:20 default): in-kernel
+  mixture-of-logistics / mixture-of-Gaussians sampling with the exact
+  ``mixture.py:118-156`` numerics (uniforms in (1e-5, 1-1e-5),
+  logistic inverse-CDF; Box–Muller for the Normal head).
+
+Teacher-forcing mode feeds ground-truth codes/samples instead — the
+equivalence test against the batch forward, same as the reference's
+``test_inputs`` hook (``wavenet.py:249``).
 """
 from __future__ import annotations
 
@@ -99,6 +106,7 @@ def _mk_kernel(
     S = net.skip_out_channels
     O = net.out_channels
     k = net.kernel_size
+    scalar = net.scalar_input
     assert k == 3, "kernel specialized for kernel_size=3 (all presets)"
     dils = [net.dilation(i) for i in range(L)]
     skip_scale = math.sqrt(1.0 / L)
@@ -165,10 +173,14 @@ def _mk_kernel(
         @pl.when(t == 0)
         def _():
             pltpu.prng_seed(seed_ref[0])
-            # mu-law silence code 127 as initial input (wavenet.py:288);
-            # built via iota (scatter doesn't lower on TPU)
-            col = jax.lax.broadcasted_iota(jnp.int32, (B, O), 1)
-            prev_ref[:] = (col == 127).astype(store)
+            if scalar:
+                # scalar zero initial input (wavenet.py:285)
+                prev_ref[:] = jnp.zeros((B, 1), jnp.float32)
+            else:
+                # mu-law silence code 127 as initial input (wavenet.py:288);
+                # built via iota (scatter doesn't lower on TPU)
+                col = jax.lax.broadcasted_iota(jnp.int32, (B, O), 1)
+                prev_ref[:] = (col == 127).astype(store)
             for l in vmem_layers:
                 bufs[l][:] = jnp.zeros_like(bufs[l])
 
@@ -199,13 +211,21 @@ def _mk_kernel(
                         rsem[l].at[tap, pn],
                     ).start()
 
-        if teacher:
-            x_onehot = jax.nn.one_hot(teach_ref[0, 0, :], O, dtype=store)  # (B, O)
+        if scalar:
+            # scalar input: x (B, 1) @ W1 (1, C); W1/x kept f32 — bf16 on
+            # the raw waveform value would quantize the AR signal itself
+            if teacher:
+                x_in = teach_ref[0, 0, :][:, None].astype(jnp.float32)  # (B, 1)
+            else:
+                x_in = prev_ref[:]
+            h = jnp.dot(x_in, w1_ref[:], preferred_element_type=acc) + b1_ref[:][None, :]
         else:
-            x_onehot = prev_ref[:]
-
-        # first 1x1: one-hot @ W1  (row gather via matmul — MXU friendly)
-        h = jnp.dot(x_onehot, w1_ref[:], preferred_element_type=acc) + b1_ref[:][None, :]
+            if teacher:
+                x_onehot = jax.nn.one_hot(teach_ref[0, 0, :], O, dtype=store)  # (B, O)
+            else:
+                x_onehot = prev_ref[:]
+            # first 1x1: one-hot @ W1 (row gather via matmul — MXU friendly)
+            h = jnp.dot(x_onehot, w1_ref[:], preferred_element_type=acc) + b1_ref[:][None, :]
 
         skip_acc = jnp.zeros((B, S), acc)
         for l in range(L):
@@ -281,14 +301,46 @@ def _mk_kernel(
         logits = jnp.dot(x, wp2_ref[:], preferred_element_type=acc) + bp2_ref[:][None, :]
         logits_ref[0] = logits
 
-        # categorical sample via Gumbel-argmax over logits
-        bits = pltpu.prng_random_bits((B, O))
-        u = bits.astype(jnp.float32) * (1.0 / 4294967296.0) + 0.5  # [0,1)
-        u = jnp.clip(u, 1e-7, 1.0 - 1e-7)
-        gumbel = -jnp.log(-jnp.log(u))
-        idx = jnp.argmax(jax.nn.log_softmax(logits, axis=-1) + gumbel, axis=-1).astype(jnp.int32)
-        codes_ref[0, 0] = idx
-        prev_ref[:] = jax.nn.one_hot(idx, O, dtype=store)
+        def _uniform(shape, lo=1e-5):
+            # TPU PRNG bits -> U[lo, 1-lo); the reference's samplers draw
+            # uniforms in (1e-5, 1-1e-5) (mixture.py:131,147)
+            bits = pltpu.prng_random_bits(shape)
+            u = bits.astype(jnp.float32) * (1.0 / 4294967296.0) + 0.5  # [0,1)
+            return u * (1.0 - 2.0 * lo) + lo
+
+        if scalar:
+            # in-kernel MoL / MoG sampling — exact mixture.py:118-156 /
+            # 221-270 numerics (Gumbel-argmax mixture pick over raw
+            # logit_probs, logistic inverse-CDF or Box–Muller noise)
+            M = O // 3
+            lp = logits[:, :M]
+            gum = -jnp.log(-jnp.log(_uniform((B, M))))
+            pick = jnp.argmax(lp + gum, axis=-1)  # (B,)
+            oh = (
+                jax.lax.broadcasted_iota(jnp.int32, (B, M), 1) == pick[:, None]
+            ).astype(jnp.float32)
+            means = jnp.sum(logits[:, M : 2 * M] * oh, axis=-1)
+            log_s = jnp.sum(logits[:, 2 * M : 3 * M] * oh, axis=-1)
+            if net.output_distribution == "Logistic":
+                u2 = _uniform((B, 1))[:, 0]
+                noise = jnp.log(u2) - jnp.log(1.0 - u2)
+            else:  # Normal: Box–Muller
+                u12 = _uniform((B, 2), lo=1e-7)
+                noise = jnp.sqrt(-2.0 * jnp.log(u12[:, 0])) * jnp.cos(
+                    2.0 * math.pi * u12[:, 1]
+                )
+            xs = jnp.clip(means + jnp.exp(log_s) * noise, -1.0, 1.0)
+            codes_ref[0, 0] = xs
+            prev_ref[:] = xs[:, None]
+        else:
+            # categorical sample via Gumbel-argmax over logits
+            u = _uniform((B, O), lo=1e-7)
+            gumbel = -jnp.log(-jnp.log(u))
+            idx = jnp.argmax(
+                jax.nn.log_softmax(logits, axis=-1) + gumbel, axis=-1
+            ).astype(jnp.int32)
+            codes_ref[0, 0] = idx
+            prev_ref[:] = jax.nn.one_hot(idx, O, dtype=store)
 
     return kernel
 
@@ -322,10 +374,14 @@ def wavenet_decode_pallas(
         the VMEM batch ceiling (32 at the default f32/VMEM layout) to 128+.
         None = all buffers VMEM-resident. Hazard analysis for the prefetch
         schedule (all (mod 2d) slot-collision cases) requires >= 4.
-    Returns (codes (B, T) int32, logits (B, T, O)).
+    Returns (codes (B, T) int32, logits (B, T, O)) on the mu-law-quantize
+    path, or (samples (B, T) float32 in [-1, 1], mixture params (B, T, O))
+    on the scalar-input path (raw / mulaw: in-kernel MoL or MoG sampling,
+    reference ``wavenet.py:325-338``).
     """
     acc = jnp.float32
     store = jnp.bfloat16 if dtype_str == "bfloat16" else jnp.float32
+    scalar = net.scalar_input
     has_c = c_up is not None
     has_g = g_add is not None
     if has_c:
@@ -378,8 +434,11 @@ def wavenet_decode_pallas(
     def _w(a):  # weights in storage dtype, biases stay f32
         return a.astype(store)
 
+    # scalar path: W1 is (1, C) and multiplies the raw waveform value —
+    # keep it f32 so bf16 storage mode doesn't quantize the AR signal
+    w1 = packed["w1"].astype(jnp.float32) if scalar else _w(packed["w1"])
     inputs = [
-        _w(packed["w1"]), packed["b1"], _w(packed["wconv"]), packed["bconv"],
+        w1, packed["b1"], _w(packed["wconv"]), packed["bconv"],
         _w(packed["wout"]), packed["bout"], _w(packed["wskip"]), packed["bskip"],
         _w(packed["wp1"]), packed["bp1"], _w(packed["wp2"]), packed["bp2"],
     ]
@@ -402,7 +461,8 @@ def wavenet_decode_pallas(
         in_specs.append(
             pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0), memory_space=pltpu.VMEM)
         )
-        inputs.append(jnp.swapaxes(teach.astype(jnp.int32), 0, 1)[:, None, :])
+        teach_dt = jnp.float32 if scalar else jnp.int32
+        inputs.append(jnp.swapaxes(teach.astype(teach_dt), 0, 1)[:, None, :])
     if hbm_layers:
         # One concatenated HBM ring arena for all HBM layers. Contents are
         # never read before being written *this run* (reads of
@@ -416,7 +476,7 @@ def wavenet_decode_pallas(
         pltpu.VMEM((2 * net.dilation(i), B, C), store)
         for i in range(L)
         if i not in hbm_set
-    ] + [pltpu.VMEM((B, O), store)]
+    ] + [pltpu.VMEM((B, 1), jnp.float32) if scalar else pltpu.VMEM((B, O), store)]
     for _ in hbm_layers:
         scratch.append(pltpu.VMEM((4, B, C), store))  # read stage
         scratch.append(pltpu.VMEM((2, B, C), store))  # write stage
@@ -432,7 +492,7 @@ def wavenet_decode_pallas(
             pl.BlockSpec((1, B, O), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((T, 1, B), jnp.int32),
+            jax.ShapeDtypeStruct((T, 1, B), jnp.float32 if scalar else jnp.int32),
             jax.ShapeDtypeStruct((T, B, O), acc),
         ),
         scratch_shapes=scratch,
