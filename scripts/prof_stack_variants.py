@@ -1,0 +1,143 @@
+"""Round-3 MFU experiments on the isolated 20-layer GLU stack (B=40,
+T=5120, svqwae shapes): can XLA-level restructuring beat the 59/125 ms
+fwd / fwd+bwd baseline?
+
+A. baseline 3-shift GEMM (round-2 best)
+B. bf16 skip accumulation (halves the 210 MB/layer f32 skip traffic)
+C. fused out+skip GEMM: one (G2, C+S) matmul, split after — one read of
+   `act` instead of two
+D. B+C combined
+E. per-layer jax.checkpoint (remat) on D — trades HBM for recompute in bwd
+"""
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+def _sync(x):
+    return float(np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[0])
+
+
+def timeit(fn, *args, n=10, trials=3):
+    out = fn(*args)
+    _sync(out)
+    best = np.inf
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(n):
+            o = fn(*args)
+        _sync(o)
+        best = min(best, (time.perf_counter() - t0) / n)
+    return best
+
+
+B, T, C, G, S, L, cin = 40, 5120, 256, 368, 256, 20, 80
+G2 = G // 2
+bf = jnp.bfloat16
+dil = [2 ** (i % 10) for i in range(L)]
+RS = math.sqrt(0.5)
+
+
+def make_weights(fused_outskip: bool):
+    k = np.random.default_rng(1)
+    Ws = []
+    for _ in range(L):
+        w = dict(
+            wconv=jnp.asarray(k.standard_normal((3, C, G)) * 0.05, bf),
+            bconv=jnp.zeros((G,), jnp.float32),
+            wc=jnp.asarray(k.standard_normal((cin, G)) * 0.05, bf),
+        )
+        wout = k.standard_normal((G2, C)) * 0.05
+        wskip = k.standard_normal((G2, S)) * 0.05
+        if fused_outskip:
+            w["wos"] = jnp.asarray(np.concatenate([wout, wskip], 1), bf)
+        else:
+            w["wout"] = jnp.asarray(wout, bf)
+            w["wskip"] = jnp.asarray(wskip, bf)
+        w["bout"] = jnp.zeros((C,), jnp.float32)
+        w["bskip"] = jnp.zeros((S,), jnp.float32)
+        Ws.append(w)
+    return Ws
+
+
+def layer_plain(w, h, cc, d, skip_f32: bool):
+    pad = jnp.pad(h, ((0, 0), (2 * d, 0), (0, 0)))
+    ab = (
+        pad[:, 0:T] @ w["wconv"][0]
+        + pad[:, d : d + T] @ w["wconv"][1]
+        + pad[:, 2 * d : 2 * d + T] @ w["wconv"][2]
+        + w["bconv"].astype(bf)
+        + cc @ w["wc"]
+    )
+    act = jnp.tanh(ab[..., :G2]) * jax.nn.sigmoid(ab[..., G2:])
+    if "wos" in w:
+        os_ = act @ w["wos"]
+        out, skip = os_[..., :C], os_[..., C:]
+    else:
+        out, skip = act @ w["wout"], act @ w["wskip"]
+    skip = skip + w["bskip"].astype(bf)
+    h = ((out + w["bout"].astype(bf)) + h) * jnp.asarray(RS, bf)
+    return h, skip.astype(jnp.float32) if skip_f32 else skip
+
+
+def make_stack(fused: bool, skip_f32: bool, remat: bool):
+    def one(w, h, cc, d):
+        return layer_plain(w, h, cc, d, skip_f32)
+
+    if remat:
+        one = jax.checkpoint(one, static_argnums=(3,))
+
+    def stack(ws, h, cc):
+        acc0 = jnp.zeros((B, T, S), jnp.float32 if skip_f32 else bf)
+        skips = acc0
+        for i, w in enumerate(ws):
+            h, s = one(w, h, cc, dil[i])
+            skips = skips + s
+        return h, skips
+
+    return stack
+
+
+def main():
+    k = np.random.default_rng(2)
+    h0 = jnp.asarray(k.standard_normal((B, T, C)) * 0.1, bf)
+    cc = jnp.asarray(k.standard_normal((B, T, cin)) * 0.1, bf)
+
+    variants = [
+        ("A base (f32 skip)", False, True, False),
+        ("B bf16 skip", False, False, False),
+        ("C fused out+skip", True, True, False),
+        ("D B+C", True, False, False),
+        ("E D+remat", True, False, True),
+    ]
+    for name, fused, skip_f32, remat in variants:
+        ws = make_weights(fused)
+        stack = make_stack(fused, skip_f32, remat)
+        jf = jax.jit(lambda ws, h, c, st=stack: st(ws, h, c)[1].astype(jnp.float32).sum())
+        dt_f = timeit(jf, ws, h0, cc)
+
+        def lossf(ws, h, c, st=stack):
+            o, s = st(ws, h, c)
+            return s.astype(jnp.float32).sum() + o.astype(jnp.float32).sum()
+
+        jg = jax.jit(lambda ws, h, c, lf=lossf: jax.grad(lf)(ws, h, c))
+        dt_b = timeit(jg, ws, h0, cc)
+        print(f"{name:22s} fwd {dt_f*1e3:7.1f} ms   f+b {dt_b*1e3:7.1f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

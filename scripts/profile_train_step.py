@@ -13,7 +13,10 @@ from __future__ import annotations
 
 import math
 import os
+import sys
 import time
+
+sys.path.insert(0, "/root/repo")
 
 import numpy as np
 
@@ -73,8 +76,8 @@ def main():
     @jax.jit
     def fwd(params, mstate, batch):
         out = model.forward(
-            params, mstate, batch["x"], batch["c"], batch["g"],
-            rng=jax.random.PRNGKey(0), train=True, dtype=jnp.bfloat16,
+            params, mstate, jax.random.PRNGKey(0), batch["x"], batch["c"],
+            batch["g"], train=True, dtype=jnp.bfloat16,
         )
         return out[0].sum()
 
@@ -86,8 +89,8 @@ def main():
     def fwdbwd(params, mstate, batch):
         def loss_fn(p):
             out = model.forward(
-                p, mstate, batch["x"], batch["c"], batch["g"],
-                rng=jax.random.PRNGKey(0), train=True, dtype=jnp.bfloat16,
+                p, mstate, jax.random.PRNGKey(0), batch["x"], batch["c"],
+                batch["g"], train=True, dtype=jnp.bfloat16,
             )
             return out[0].astype(jnp.float32).sum() + out[1].sum()
         return jax.grad(loss_fn)(params)

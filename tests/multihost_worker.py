@@ -69,6 +69,30 @@ def main():
     result["updated_param_sum"] = float(jax.numpy.sum(v))  # replicated output
     result["process_count"] = jax.process_count()
     result["global_devices"] = len(jax.devices())
+
+    # qualitative eval hooks under multi-host (VERDICT r2 item 7): process 0
+    # runs them locally from its addressable shards — exactly what
+    # train.loop does at checkpoint/eval cadence when process_count > 1
+    if pid == 0:
+        art_dir = out_path + "_artifacts"
+        from wavenet_autoencoders_tpu.train.loop import (
+            _addressable_batch,
+            _addressable_state,
+            _try_eval_model,
+            _try_save_states,
+        )
+        from wavenet_autoencoders_tpu.train.step import make_sample_forward
+
+        fwd_fn = make_sample_forward(cfg, model)
+        lstate = _addressable_state(new_state)
+        lbatch = _addressable_batch(gbatch)
+        assert lbatch["x"].shape[0] == B // nproc  # this host's rows
+        _try_save_states(cfg, fwd_fn, lstate, 1, lbatch, art_dir)
+        _try_eval_model(cfg, model, lstate, 1, lbatch, art_dir)
+        audio = os.path.join(art_dir, "intermediate", "audio")
+        ev = os.path.join(art_dir, "intermediate", "train_no_dev_eval")
+        result["save_states_files"] = sorted(os.listdir(audio)) if os.path.isdir(audio) else []
+        result["eval_model_files"] = sorted(os.listdir(ev)) if os.path.isdir(ev) else []
     with open(out_path, "w") as f:
         json.dump(result, f)
     jax.distributed.shutdown()

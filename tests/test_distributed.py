@@ -121,3 +121,43 @@ def test_two_process_step_matches_single_process(tmp_path):
     np.testing.assert_allclose(float(m["grad_norm"]), r0["grad_norm"], rtol=2e-3)
     psum = float(np.sum(np.asarray(new_state.params["wavenet"]["layers"][0]["conv"]["v"])))
     np.testing.assert_allclose(psum, r0["updated_param_sum"], rtol=2e-3, atol=1e-6)
+
+
+def test_two_process_run_writes_eval_artifacts(tmp_path):
+    """Multi-host qualitative eval (VERDICT r2 item 7): process 0 must
+    write save_states audio + eval_model AR artifacts from its addressable
+    shards; covered by the same 2-process worker (it records the produced
+    file lists)."""
+    port = _free_port()
+    outs = [tmp_path / f"proc{i}.json" for i in range(2)]
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    worker = Path(__file__).with_name("multihost_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), f"127.0.0.1:{port}", "2", str(i), str(outs[i])],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multi-host worker timed out")
+        logs.append(out.decode(errors="replace"))
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
+    r0 = json.loads(outs[0].read_text())
+    # teacher-forced dump: predicted + target wavs (eval_hooks.save_states)
+    assert any("predicted" in f for f in r0["save_states_files"]), r0
+    assert any("target" in f for f in r0["save_states_files"]), r0
+    # AR decode artifacts (eval_hooks.eval_model)
+    assert r0["eval_model_files"], r0

@@ -111,3 +111,55 @@ def test_iterator_uses_native(lib_ok, tmp_path):
         assert b["x"].dtype == np.int32
         n += 1
     assert n == 2
+
+
+def test_per_host_io_slice_bit_identical(lib_ok, tmp_path):
+    """Multi-host per-host IO (VERDICT r2 item 7): loading only a
+    contiguous slice [s, s+n) of the global batch with the seed shifted by
+    s strides reproduces the full-batch crops bit-for-bit (per-item seeds
+    in dataload.cpp are seed + STRIDE*(i+1))."""
+    from wavenet_autoencoders_tpu.config import load_preset
+    from wavenet_autoencoders_tpu.data.dataset import (
+        _SEED_STRIDE,
+        _U64,
+        Collator,
+        WaveDataset,
+        _native_batch,
+        data_iterator,
+    )
+    from wavenet_autoencoders_tpu.data.manifest import write_manifest
+
+    rng = np.random.default_rng(3)
+    hop = 160
+    cfg = load_preset("vqwae", "max_time_steps=1280,batch_size=4,gin_channels=-1")
+    rows = []
+    for i in range(4):
+        N = 24 + 4 * i
+        d = tmp_path / f"u{i}"
+        d.mkdir()
+        prefix = str(d) + "/"
+        np.save(prefix + "wave.npy", rng.integers(0, 256, N * hop).astype(np.int16))
+        np.save(prefix + "mfcc.norm.npy", rng.standard_normal((N, 39)).astype(np.float32))
+        rows.append((prefix, N, -1, "x"))
+    write_manifest(rows, tmp_path)
+    ds = WaveDataset(str(tmp_path), cfg)
+    collate = Collator(cfg)
+
+    seed = 12345
+    full = _native_batch(ds, cfg, [0, 1, 2, 3], collate, seed)
+    for s, n in [(0, 2), (2, 2), (1, 3)]:
+        part = _native_batch(
+            ds, cfg, list(range(s, s + n)), collate,
+            (seed + _SEED_STRIDE * s) % _U64,
+        )
+        np.testing.assert_array_equal(part["x"], full["x"][s : s + n])
+        np.testing.assert_array_equal(part["c"], full["c"][s : s + n])
+
+    # end-to-end through data_iterator: the two host slices concatenate to
+    # the single-host batch stream
+    full_it = data_iterator(ds, cfg, prefetch=0, epochs=1, seed=7)
+    h0_it = data_iterator(ds, cfg, prefetch=0, epochs=1, seed=7, host_slice=(0, 2))
+    h1_it = data_iterator(ds, cfg, prefetch=0, epochs=1, seed=7, host_slice=(2, 2))
+    for fb, b0, b1 in zip(full_it, h0_it, h1_it):
+        np.testing.assert_array_equal(np.concatenate([b0["x"], b1["x"]]), fb["x"])
+        np.testing.assert_array_equal(np.concatenate([b0["c"], b1["c"]]), fb["c"])

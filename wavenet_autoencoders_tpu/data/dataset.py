@@ -196,6 +196,15 @@ class Collator:
         return int(mulaw_quantize(0, self.cfg.quantize_channels - 1))
 
 
+# must match the per-item seed stride in native/dataload.cpp
+# (wae_load_batch: seed + 0x517CC1B727220A95 * (i + 1)) — it lets a host
+# load only its contiguous slice [s, s+n) of the global batch while
+# reproducing the exact crops of a full-batch load, by shifting the batch
+# seed by s strides.
+_SEED_STRIDE = 0x517CC1B727220A95
+_U64 = 1 << 64
+
+
 def _native_batch(dataset: WaveDataset, cfg: Config, idxs, collate: Collator, seed: int):
     """Assemble one batch through the C++ loader (mmap + parallel crop);
     returns None if unavailable so the caller falls back to Python."""
@@ -248,11 +257,14 @@ def data_iterator(
     prefetching. Uses the C++ mmap loader when available.
 
     host_slice=(start, size): multi-host mode — every host runs the same
-    deterministic sampler+collator over the GLOBAL batch (bit-identical
-    to single-host numerics, incl. crop RNG consumption) and yields only
-    its slice of it; the caller assembles the global device array via
-    ``parallel.distributed.make_global_batch``. Host-side IO stays
-    full-batch (mmap'd npy, cheap); device transfer is the slice only.
+    deterministic sampler over the GLOBAL batch (bit-identical to
+    single-host numerics) and yields only its slice of it; the caller
+    assembles the global device array via
+    ``parallel.distributed.make_global_batch``. On the native-loader path
+    each host reads ONLY its slice's npy files (per-item crop seeds are
+    global-position based, so the crops are bit-identical to a full-batch
+    load); the Python fallback still loads the full batch then slices
+    (its crop RNG is consumed sequentially).
 
     transform: optional per-batch function applied INSIDE the prefetch
     thread — pass the device-put/shard function here so host→device
@@ -273,16 +285,26 @@ def data_iterator(
                 buf.append(idx)
                 if len(buf) == bs:
                     step += 1
-                    b = (
-                        _native_batch(dataset, cfg, buf, collate, seed + step * 7919)
-                        if use_native
-                        else None
-                    )
-                    if b is None:
-                        b = collate([dataset[i] for i in buf])
+                    base_seed = seed + step * 7919
+                    b = None
                     if host_slice is not None:
                         s, n = host_slice
-                        b = {k: v[s : s + n] for k, v in b.items()}
+                        if use_native:
+                            # per-host IO: read only this host's slice;
+                            # shift the batch seed by s strides so item
+                            # crops match the full-batch load bit-for-bit
+                            b = _native_batch(
+                                dataset, cfg, buf[s : s + n], collate,
+                                (base_seed + _SEED_STRIDE * s) % _U64,
+                            )
+                        if b is None:  # fallback: full IO, then slice
+                            b = collate([dataset[i] for i in buf])
+                            b = {k: v[s : s + n] for k, v in b.items()}
+                    else:
+                        if use_native:
+                            b = _native_batch(dataset, cfg, buf, collate, base_seed)
+                        if b is None:
+                            b = collate([dataset[i] for i in buf])
                     yield b
                     buf = []
             epoch += 1

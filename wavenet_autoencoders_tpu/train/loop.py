@@ -199,14 +199,27 @@ def train(
             if step > 0 and step % cfg.checkpoint_interval == 0:
                 if main:
                     ckpt.save(state, ckpt_dir, save_optimizer_state=cfg.save_optimizer_state)
-                if n_proc == 1:
-                    # qualitative dumps are single-host only: they fetch
-                    # per-item slices of the (data-sharded) batch, which are
-                    # not process-addressable under multi-host
-                    _try_save_states(cfg, fwd_fn, state, step, batch, ckpt_dir)
+                    if n_proc == 1:
+                        _try_save_states(cfg, fwd_fn, state, step, batch, ckpt_dir)
+                    else:
+                        # multi-host: run the dump on process 0 only, from
+                        # its ADDRESSABLE shards (batch slice + local
+                        # replica of the replicated params) — a local,
+                        # non-collective forward, so no other process has
+                        # to participate (vqwae_train.py:643-691 parity)
+                        _try_save_states(
+                            cfg, fwd_fn, _addressable_state(state), step,
+                            _addressable_batch(batch), ckpt_dir,
+                        )
 
-            if step > 0 and step % cfg.train_eval_interval == 0 and main and n_proc == 1:
-                _try_eval_model(cfg, model, state, step, batch, ckpt_dir)
+            if step > 0 and step % cfg.train_eval_interval == 0 and main:
+                if n_proc == 1:
+                    _try_eval_model(cfg, model, state, step, batch, ckpt_dir)
+                else:
+                    _try_eval_model(
+                        cfg, model, _addressable_state(state), step,
+                        _addressable_batch(batch), ckpt_dir,
+                    )
 
             if step % steps_per_epoch == 0:
                 epoch = step // steps_per_epoch
@@ -224,9 +237,7 @@ def train(
                         cfg, eval_fn, state, dev_ds, writer, step, epoch, rng,
                         put_batch, n_proc,
                         do_ar_eval=(
-                            main
-                            and n_proc == 1
-                            and epoch % cfg.test_eval_epoch_interval == 0
+                            main and epoch % cfg.test_eval_epoch_interval == 0
                         ),
                         model=model,
                         ckpt_dir=ckpt_dir,
@@ -248,6 +259,34 @@ def train(
     if writer:
         writer.close()
     return state
+
+
+def _addressable_batch(batch):
+    """This process's rows of a globally data-sharded batch, as host
+    numpy — usable in a local (non-collective) jit on any host."""
+    import numpy as _np
+
+    def local(a):
+        if not hasattr(a, "addressable_shards"):
+            return _np.asarray(a)
+        shards = sorted(
+            a.addressable_shards, key=lambda s: (s.index[0].start or 0)
+        )
+        return _np.concatenate([_np.asarray(s.data) for s in shards], axis=0)
+
+    return {k: local(v) for k, v in batch.items()}
+
+
+def _addressable_state(state):
+    """A process-local view of a (replicated) TrainState: each leaf becomes
+    its first addressable single-device replica."""
+
+    def local(x):
+        if hasattr(x, "addressable_data"):
+            return x.addressable_data(0)
+        return x
+
+    return jax.tree.map(local, state)
 
 
 def _try_save_states(cfg, fwd_fn, state, step, batch, ckpt_dir):
@@ -325,4 +364,7 @@ def _run_dev(
             flush=True,
         )
     if do_ar_eval and first_batch is not None and model is not None:
+        if n_proc > 1:  # process-0 local view (see _addressable_batch)
+            state = _addressable_state(state)
+            first_batch = _addressable_batch(first_batch)
         _try_eval_model(cfg, model, state, step, first_batch, ckpt_dir, phase="dev")
