@@ -119,9 +119,7 @@ def main():
 
     variants = [
         ("A base (f32 skip)", False, True, False),
-        ("B bf16 skip", False, False, False),
-        ("C fused out+skip", True, True, False),
-        ("D B+C", True, False, False),
+        ("D bf16skip+fused", True, False, False),
         ("E D+remat", True, False, True),
     ]
     for name, fused, skip_f32, remat in variants:

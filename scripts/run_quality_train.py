@@ -1,0 +1,19 @@
+"""Quality-run launcher: package import from /root/repo, cwd=quality/
+(the manifests carry quality-relative dump prefixes)."""
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+os.chdir("/root/repo/quality")
+from wavenet_autoencoders_tpu.cli.main import main
+
+main([
+    "train", "--preset", "svqwae",
+    "--hparams",
+    'checkpoint_interval=2500,train_eval_interval=1000000,'
+    'test_eval_epoch_interval=1000000,dev_batch_size=6,'
+    'lr_schedule_kwargs={"anneal_rate": 0.5, "anneal_interval": 25000}',
+    "dump/2019/english/train_no_dev", "exp/svqwae",
+    "--dev-dump-root", "dump/2019/english/dev",
+    "--max-steps", "50000",
+])
