@@ -182,6 +182,34 @@ def main():
     dt_dec = (time.perf_counter() - t0) / reps
     synth_aps = Bs * Ts / cfg.sample_rate / dt_dec
 
+    # ---- scalar-input (raw + MoL) decode — the reference's default
+    # input_type (hparams.py:20); in-kernel mixture sampling ----
+    from wavenet_autoencoders_tpu.models.zoo import build_model as _bm
+
+    cfg_raw = load_preset("vocoder_raw")
+    model_raw = _bm(cfg_raw)
+    net_raw = model_raw.wavenet
+    params_raw, _ = model_raw.init(jax.random.PRNGKey(0))
+    wn_raw = params_raw["wavenet"]
+    fb = Ts // int(np.prod(cfg_raw.upsample_scales)) + 2 * cfg_raw.cin_pad
+    cr = jnp.asarray(rng.standard_normal((Bs, fb, cfg_raw.cin_channels)), jnp.float32)
+    cr_up = net_raw.upsample_conditioning(wn_raw, cr)
+    packed_raw = pack_decode_weights(net_raw, wn_raw)
+    sm, _ = wavenet_decode_pallas(
+        net_raw, packed_raw, Ts, 0, c_up=cr_up, dtype_str="bfloat16",
+        hbm_min_dilation=64,
+    )
+    _sync(sm)
+    t0 = time.perf_counter()
+    for i in range(reps):
+        sm, _ = wavenet_decode_pallas(
+            net_raw, packed_raw, Ts, i, c_up=cr_up, dtype_str="bfloat16",
+            hbm_min_dilation=64,
+        )
+        _sync(sm)
+    dt_raw = (time.perf_counter() - t0) / reps
+    synth_raw_aps = Bs * Ts / cfg_raw.sample_rate / dt_raw
+
     result = {
         "metric": "svqwae_synthesis_audio_sec_per_sec_per_chip",
         "value": round(synth_aps, 2),
@@ -198,6 +226,8 @@ def main():
             "synth_batch": Bs,
             "synth_T": Ts,
             "synth_us_per_step": round(dt_dec / Ts * 1e6, 1),
+            "synth_scalar_mol_audio_sec_per_sec": round(synth_raw_aps, 2),
+            "synth_scalar_mol_us_per_step": round(dt_raw / Ts * 1e6, 1),
             "decoder": "pallas fused sequential-grid kernel, HBM ring arena (hbm_min_dilation=64)",
             "ref_synth_audio_sec_per_sec": REF_SYNTH_AUDIO_SEC_PER_SEC,
             "ref_baseline_kind": REF_BASELINE_KIND,

@@ -1,0 +1,63 @@
+"""Unit tests for the quality-run tooling (scripts/): corpus generator and
+the MCD / mel-L1 reconstruction metrics used by QUALITY.md."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+SCRIPTS = os.path.join(os.path.dirname(__file__), "..", "scripts")
+sys.path.insert(0, os.path.abspath(SCRIPTS))
+
+
+def test_synth_corpus_utterance_properties():
+    from make_synth_corpus import SR, speaker_profile, synth_utterance
+
+    rng = np.random.default_rng(0)
+    spk = speaker_profile(rng, "f")
+    y, phones = synth_utterance(rng, spk, n_phones=12)
+    assert y.dtype == np.float32
+    assert np.abs(y).max() <= 1.0
+    assert len(y) > SR  # at least a second
+    assert len(phones) == 12
+    # voiced speech-like content: strong energy below 4 kHz
+    f = np.abs(np.fft.rfft(y.astype(np.float64)))
+    fr = np.fft.rfftfreq(len(y), 1 / SR)
+    low = f[fr < 4000].sum()
+    assert low / f.sum() > 0.7
+
+
+def test_synth_corpus_speakers_differ():
+    from make_synth_corpus import speaker_profile, synth_utterance
+
+    rng = np.random.default_rng(1)
+    a = speaker_profile(rng, "m")
+    b = speaker_profile(rng, "f")
+    assert abs(a["f0"] - b["f0"]) > 20  # male/female F0 ranges are disjoint
+
+
+def test_mcd_zero_for_identical_and_positive_otherwise():
+    from quality_eval import mcd_db
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((50, 39))
+    assert mcd_db(a, a) == 0.0
+    b = a + rng.standard_normal((50, 39)) * 0.1
+    assert mcd_db(a, b) > 0.0
+    # known value: constant offset d on every coefficient c1..c12
+    d = 0.3
+    c = a.copy()
+    c[:, 1:13] += d
+    expect = (10.0 / np.log(10)) * np.sqrt(2 * 12 * d * d)
+    np.testing.assert_allclose(mcd_db(a, c), expect, rtol=1e-6)
+
+
+def test_mel_l1_zero_for_identical():
+    from quality_eval import mel_l1
+    from wavenet_autoencoders_tpu.config import load_preset
+
+    cfg = load_preset("svqwae")
+    rng = np.random.default_rng(0)
+    w = rng.uniform(-0.5, 0.5, 16000).astype(np.float32)
+    assert mel_l1(cfg, w, w) == 0.0
+    assert mel_l1(cfg, w, np.roll(w, 200)) > 0.01

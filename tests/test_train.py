@@ -203,3 +203,63 @@ def test_restore_parts_shape_tolerant(tmp_path):
         np.asarray(merged["params"]["vq"]["codebook"]),
         np.asarray(state2.params["vq"]["codebook"]),
     )
+
+
+def test_train_step_scalar_mol_input():
+    """Scalar-input (raw + MoL head) training path: finite loss, params
+    move, loss decreases on a repeated batch (vqwae_train.py MoL branch)."""
+    cfg = tiny_cfg(
+        input_type="raw",
+        quantize_channels=65536,
+        out_channels=30,
+        output_distribution="Logistic",
+        log_scale_min=-16.0,
+    )
+    model = build_model(cfg)
+    state = init_state(cfg, model, jax.random.PRNGKey(0))
+    step = make_train_step(cfg, model)
+    rng = np.random.default_rng(0)
+    B, frames = 2, 8
+    T = frames * 4
+    ds = 100 // cfg.frame_rate
+    wav = rng.uniform(-0.9, 0.9, (B, T)).astype(np.float32)
+    batch = {
+        "x": wav,
+        "y": wav[..., None],
+        "c": rng.standard_normal((B, frames * ds, cfg.dim_in)).astype(np.float32),
+        "g": np.array([0, 1], np.int32),
+        "lengths": np.full((B,), T, np.int32),
+    }
+    losses = []
+    for i in range(8):
+        state, m = step(state, batch, jax.random.PRNGKey(1))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_train_step_scalar_mog_normal_head():
+    cfg = tiny_cfg(
+        input_type="raw",
+        quantize_channels=65536,
+        out_channels=30,
+        output_distribution="Normal",
+        log_scale_min=-16.0,
+    )
+    model = build_model(cfg)
+    state = init_state(cfg, model, jax.random.PRNGKey(0))
+    step = make_train_step(cfg, model)
+    rng = np.random.default_rng(0)
+    B, frames = 2, 8
+    T = frames * 4
+    ds = 100 // cfg.frame_rate
+    wav = rng.uniform(-0.9, 0.9, (B, T)).astype(np.float32)
+    batch = {
+        "x": wav,
+        "y": wav[..., None],
+        "c": rng.standard_normal((B, frames * ds, cfg.dim_in)).astype(np.float32),
+        "g": np.array([0, 1], np.int32),
+        "lengths": np.full((B,), T, np.int32),
+    }
+    state, m = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
