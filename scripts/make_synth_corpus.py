@@ -73,6 +73,10 @@ def formant_envelope(freqs: np.ndarray, formants, bws=(90.0, 110.0, 170.0)) -> n
 
 
 def synth_utterance(rng: np.random.Generator, spk: dict, n_phones: int | None = None):
+    """Returns (waveform, segments) where segments is a list of
+    (phone, start_sec, end_sec) — ground-truth alignments for ABX-style
+    evaluation of learned representations. No rng draws depend on the
+    bookkeeping, so corpora regenerate byte-identically per seed."""
     if n_phones is None:
         n_phones = int(rng.integers(10, 22))
     phones = [PHONES[i] for i in rng.integers(0, len(PHONES), n_phones)]
@@ -162,7 +166,12 @@ def synth_utterance(rng: np.random.Generator, spk: dict, n_phones: int | None = 
 
     y = y + aspir + fric
     y = y / (np.abs(y).max() + 1e-6) * rng.uniform(0.55, 0.8)
-    return y.astype(np.float32), phones
+    segs = []
+    pos = 0.0
+    for ph, dur in zip(phones, durs):
+        segs.append((ph, round(pos, 4), round(min(pos + dur, T / SR), 4)))
+        pos += dur
+    return y.astype(np.float32), segs
 
 
 def write_wav(path: Path, y: np.ndarray):
@@ -194,13 +203,18 @@ def main():
         y, _ = synth_utterance(rng, voice_speakers[spk])
         write_wav(root / "train/voice" / f"{spk}_{20000 + i}.wav", y)
     syn_lines = []
+    import json
+
+    labels = {}
     for i in range(args.n_test):
         spk = f"S09{i % 2}"
-        y, _ = synth_utterance(rng, test_speakers[spk])
+        y, segs = synth_utterance(rng, test_speakers[spk])
         name = f"{spk}_{30000 + i}"
         write_wav(root / "test" / f"{name}.wav", y)
+        labels[name] = [list(s) for s in segs]
         syn_lines.append(f"{name} V00{i % 2 + 1}")
     (Path(args.out_root) / "synthesis.txt").write_text("\n".join(syn_lines) + "\n")
+    (Path(args.out_root) / "test_phone_labels.json").write_text(json.dumps(labels))
     print(f"wrote {args.n_unit}+{args.n_voice} train, {args.n_test} test wavs -> {root}")
 
 

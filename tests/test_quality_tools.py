@@ -61,3 +61,37 @@ def test_mel_l1_zero_for_identical():
     w = rng.uniform(-0.5, 0.5, 16000).astype(np.float32)
     assert mel_l1(cfg, w, w) == 0.0
     assert mel_l1(cfg, w, np.roll(w, 200)) > 0.01
+
+
+def test_abx_proxy_separable_vs_random():
+    from abx_proxy import abx_error, load_segments
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    phones = ["a", "e", "i", "o"]
+    # perfectly separable: each phone has a distinct direction; speakers
+    # add a small offset
+    dirs = {p: np.eye(8)[i] for i, p in enumerate(phones)}
+    segs, segs_rand = [], []
+    for spk in ["S090", "S091"]:
+        off = rng.standard_normal(8) * 0.05
+        for k in range(40):
+            p = phones[k % 4]
+            segs.append((p, spk, f"{spk}_{k}", dirs[p] + off))
+            segs_rand.append((p, spk, f"{spk}_{k}", rng.standard_normal(8)))
+    err, n = abx_error(segs, across_speaker=True, n_triplets=2000)
+    assert n > 500 and err < 5.0, (err, n)
+    err_r, n_r = abx_error(segs_rand, across_speaker=True, n_triplets=2000)
+    assert 35.0 < err_r < 65.0, (err_r, n_r)
+
+
+def test_abx_load_segments_frame_windows():
+    from abx_proxy import load_segments
+    import numpy as np
+
+    mat = np.arange(10)[:, None].astype(float)  # 10 frames at 25 Hz
+    labels = {"S090_1": [["a", 0.0, 0.08], ["e", 0.08, 0.4]]}
+    segs = load_segments({"S090_1": mat}, labels, 25.0)
+    assert len(segs) == 2
+    # first segment covers frames 0..2 -> mean 0.5
+    assert segs[0][0] == "a" and abs(segs[0][3][0] - 0.5) < 1e-9
