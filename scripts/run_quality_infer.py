@@ -1,0 +1,23 @@
+"""CPU ABX export from a quality-run checkpoint (does not touch the TPU).
+
+Usage: python scripts/run_quality_infer.py <ckpt.npz> <dst_rel_to_quality>
+"""
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+sys.path.insert(0, "/root/repo")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+os.chdir("/root/repo/quality")
+
+from wavenet_autoencoders_tpu.cli.main import main
+
+ckpt, dst = sys.argv[1], sys.argv[2]
+main([
+    "infer", "--preset", "exp/svqwae/config.json",
+    ckpt, "scp/2019/test_src_dst.json", dst, "--lan", "english",
+])

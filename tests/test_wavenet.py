@@ -145,3 +145,40 @@ def test_jit_decode_compiles_once():
     y2 = fn(params, jax.random.PRNGKey(19))
     assert y1.shape == (1, 8, 16)
     assert not np.allclose(np.asarray(y1), np.asarray(y2))  # different RNG
+
+
+def test_incremental_equals_teacher_forced_scalar_input():
+    """Scalar-input (MoL head) variant of the equivalence test: the
+    buffered step path must reproduce the batch forward's mixture params
+    exactly (wavenet.py:249 test_inputs hook, scalar branch)."""
+    net = tiny_wavenet(out_channels=30, scalar_input=True)
+    params = net.init(jax.random.PRNGKey(14))
+    B, T = 2, 24
+    x = jax.random.uniform(jax.random.PRNGKey(15), (B, T, 1), minval=-1, maxval=1)
+    c = jax.random.normal(jax.random.PRNGKey(16), (B, T, 5))
+    g = jnp.array([1, 2])
+
+    y_batch = net.apply(params, x, c, g, upsampled=True)
+
+    g_feat = net._global_features(params, g)
+    bufs = net.init_buffers(B)
+    steps = []
+    for t in range(T):
+        logits, bufs = net.step(params, x[:, t], bufs, jnp.int32(t), c[:, t], g_feat)
+        steps.append(np.asarray(logits))
+    y_inc = np.stack(steps, axis=1)
+    np.testing.assert_allclose(np.asarray(y_batch), y_inc, atol=2e-4)
+
+
+def test_decode_scalar_free_run_shapes_and_range():
+    net = tiny_wavenet(
+        out_channels=30, scalar_input=True, cin_channels=5,
+        gin_channels=-1, use_speaker_embedding=False,
+    )
+    params = net.init(jax.random.PRNGKey(17))
+    c = jax.random.normal(jax.random.PRNGKey(18), (2, 12, 5))
+    y = net.decode(params, jax.random.PRNGKey(19), 12, c=c, upsampled=True,
+                   log_scale_min=-16.0)
+    assert y.shape == (2, 12, 1)
+    a = np.asarray(y)
+    assert np.isfinite(a).all() and (a >= -1).all() and (a <= 1).all()
