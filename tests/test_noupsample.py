@@ -134,3 +134,29 @@ def test_collator_requires_cin_pad_zero_without_upsampler():
     with pytest.raises(AssertionError, match="cin_pad=0"):
         Collator(no_up_cfg(cin_pad=2))
     Collator(no_up_cfg())  # cin_pad=0 constructs fine
+
+
+def test_align_matches_dsp_adjust_time_resolution():
+    """dsp.adjust_time_resolution's frame repeat (audio.py:68-91) is the
+    exact semantics WaveNet._align_conditioning implements on device: a
+    nearest-neighbour repeat of each frame `hop` times (the dsp variant
+    additionally co-trims leading/trailing silence, which is a
+    preprocessing concern)."""
+    from wavenet_autoencoders_tpu.dsp.filters import adjust_time_resolution
+
+    rng = np.random.default_rng(0)
+    N, D, hop = 8, 5, 4
+    feats = rng.standard_normal((N, D)).astype(np.float32)
+    quantized = np.full(N * hop, 200, np.int64)  # non-silent everywhere
+    q_t, feats_up = adjust_time_resolution(quantized, feats, silence_threshold=2)
+    expect = np.repeat(feats, hop, axis=0)
+    assert len(q_t) == len(feats_up)
+    np.testing.assert_array_equal(feats_up, expect[: len(feats_up)])
+
+    # and the device path produces that same repeat
+    net = small_net(cin_channels=D)
+    params = net.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.integers(0, 16, (1, N * hop)), jnp.int32)
+    y_device = net.apply(params, x, jnp.asarray(feats)[None])
+    y_host = net.apply(params, x, jnp.asarray(expect)[None], upsampled=True)
+    np.testing.assert_allclose(np.asarray(y_device), np.asarray(y_host))
