@@ -1,5 +1,7 @@
 """Quality-run launcher: package import from /root/repo, cwd=quality/
-(the manifests carry quality-relative dump prefixes)."""
+(the manifests carry quality-relative dump prefixes). Auto-resumes from
+checkpoint_latest.npz when present, so the watchdog can restart it after
+an axon-tunnel stall."""
 import os
 import sys
 
@@ -7,13 +9,17 @@ sys.path.insert(0, "/root/repo")
 os.chdir("/root/repo/quality")
 from wavenet_autoencoders_tpu.cli.main import main
 
-main([
+args = [
     "train", "--preset", "svqwae",
     "--hparams",
-    'checkpoint_interval=2500,train_eval_interval=1000000,'
-    'test_eval_epoch_interval=1000000,dev_batch_size=6,'
+    'checkpoint_interval=1000,train_eval_interval=1000000,'
+    'test_eval_epoch_interval=1000000,dev_batch_size=6,dev_epoch_interval=25,'
     'lr_schedule_kwargs={"anneal_rate": 0.5, "anneal_interval": 25000}',
     "dump/2019/english/train_no_dev", "exp/svqwae",
     "--dev-dump-root", "dump/2019/english/dev",
     "--max-steps", "50000",
-])
+]
+ckpt = "exp/svqwae/checkpoint_latest.npz"
+if os.path.exists(ckpt):
+    args += ["--checkpoint", ckpt]
+main(args)

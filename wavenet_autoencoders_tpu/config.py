@@ -170,6 +170,9 @@ class Config:
     checkpoint_interval: int = 100000
     train_eval_interval: int = 100000
     test_eval_epoch_interval: int = 50
+    # full dev pass every N epochs (reference: every epoch,
+    # vqwae_train.py:823-875 — raise on corpora whose epochs are tiny)
+    dev_epoch_interval: int = 1
     save_optimizer_state: bool = True
 
     # ---- autoencoder family (hparams.py:129-134 + hps/*.json flags) ----

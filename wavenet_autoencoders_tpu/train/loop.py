@@ -232,7 +232,7 @@ def train(
                         flush=True,
                     )
                 epoch_acc, epoch_n = None, 0
-                if dev_ds is not None:
+                if dev_ds is not None and epoch % max(1, cfg.dev_epoch_interval) == 0:
                     _run_dev(
                         cfg, eval_fn, state, dev_ds, writer, step, epoch, rng,
                         put_batch, n_proc,
