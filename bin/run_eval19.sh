@@ -7,6 +7,8 @@
 set -e
 SUBMISSION=${1:?submission dir}
 OUT=${2:-res}
+# structural/format pre-check (works offline)
+python -m wavenet_autoencoders_tpu.cli.main validate "$SUBMISSION"
 command -v zerospeech2020-validate >/dev/null || {
   echo "zerospeech2020 toolkit not installed (external dependency)"; exit 1; }
 zerospeech2020-validate "$SUBMISSION"

@@ -76,3 +76,51 @@ def test_bitrate_guarded_to_discrete_models():
     for preset, want in expected.items():
         model = build_model(load_preset(preset, small))
         assert _has_discrete_codes(model) is want, preset
+
+
+def test_validate_submission(tmp_path):
+    """Offline stand-in for zerospeech2020-validate (bin/run_valid.sh:8):
+    passes on a well-formed tree, raises on the classic failure modes."""
+    from scipy.io import wavfile
+
+    from wavenet_autoencoders_tpu.eval.validate import (
+        ValidationError,
+        validate_submission,
+    )
+
+    test_dir = tmp_path / "2019/english/test"
+    test_dir.mkdir(parents=True)
+    for i in range(3):
+        np.savetxt(test_dir / f"S090_{i}.txt", np.random.rand(5, 4), fmt="%.6f")
+        wavfile.write(
+            test_dir / f"V001_{i}.wav", 16000,
+            (np.random.rand(1600) * 1000).astype(np.int16),
+        )
+    s = validate_submission(tmp_path)
+    assert s == {"txt": 3, "wav": 3, "txt_cols": 4}
+
+    # inconsistent column count
+    np.savetxt(test_dir / "S090_bad.txt", np.random.rand(5, 7), fmt="%.6f")
+    with pytest.raises(ValidationError, match="columns"):
+        validate_submission(tmp_path)
+    (test_dir / "S090_bad.txt").unlink()
+
+    # non-finite values
+    np.savetxt(test_dir / "S090_nan.txt", np.full((3, 4), np.nan))
+    with pytest.raises(ValidationError, match="non-finite"):
+        validate_submission(tmp_path)
+    (test_dir / "S090_nan.txt").unlink()
+
+    # empty wav
+    (test_dir / "V001_bad.wav").write_bytes(b"RIFF0000WAVE")
+    with pytest.raises(ValidationError, match="wav"):
+        validate_submission(tmp_path)
+    (test_dir / "V001_bad.wav").unlink()
+
+    # missing language dir
+    with pytest.raises(ValidationError, match="missing"):
+        validate_submission(tmp_path, lan="surprise")
+
+    # CLI wiring
+    from wavenet_autoencoders_tpu.cli.main import main as cli
+    cli(["validate", str(tmp_path)])

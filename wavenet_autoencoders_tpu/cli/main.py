@@ -101,6 +101,14 @@ def main(argv=None):
     p.add_argument("--train-dump-root", default=None, help="train_no_dev dump dir for auto tar_c selection")
     p.add_argument("--batch", type=int, default=1, help="utterances decoded in parallel")
 
+    p = sub.add_parser(
+        "validate",
+        help="sanity-check a ZeroSpeech-2019 submission tree (offline "
+        "stand-in for zerospeech2020-validate)",
+    )
+    p.add_argument("submission_dir")
+    p.add_argument("--lan", default="english")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "subset":
@@ -151,6 +159,12 @@ def main(argv=None):
             max_steps=args.max_steps,
             dev_dump_root=args.dev_dump_root,
         )
+
+    elif args.cmd == "validate":
+        from wavenet_autoencoders_tpu.eval.validate import validate_submission
+
+        summary = validate_submission(args.submission_dir, lan=args.lan)
+        print(f"submission OK: {summary}")
 
     elif args.cmd == "infer":
         cfg = _cfg_from(args)
