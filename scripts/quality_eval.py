@@ -52,7 +52,10 @@ def mel_l1(cfg, wav_a: np.ndarray, wav_b: np.ndarray) -> float:
     return float(np.mean(np.abs(ma - mb)))
 
 
-def reconstruction_metrics(cfg, model, params, state, dump_root, n_utts=12, out_dir=None):
+def reconstruction_metrics(
+    cfg, model, params, state, dump_root, n_utts=12, out_dir=None,
+    max_frames: int | None = None,
+):
     man = Manifest.read(dump_root)
     utts = man.utterances[:n_utts]
     hop = cfg.get_hop_size()
@@ -61,6 +64,11 @@ def reconstruction_metrics(cfg, model, params, state, dump_root, n_utts=12, out_
     for u in utts:
         wave_codes = np.load(u.path("wave"))
         feats = np.load(u.path("mfcc", norm=True)).astype(np.float32)
+        if max_frames is not None:
+            ds = 100 // cfg.frame_rate
+            mf = (max_frames // ds) * ds
+            feats = feats[:mf]
+            wave_codes = wave_codes[: mf * hop]
         gt = dsp.inv_mulaw_quantize(
             wave_codes.astype(np.float32), cfg.quantize_channels - 1
         )
@@ -120,6 +128,11 @@ def plot_curves(exp_dir: Path, out_png: Path):
 def main():
     exp_dir = Path(sys.argv[1])
     qroot = Path(sys.argv[2])
+    n_utts = int(sys.argv[3]) if len(sys.argv) > 3 else 12
+    max_frames = int(sys.argv[4]) if len(sys.argv) > 4 else None
+    exp_dir = exp_dir.resolve()
+    qroot = qroot.resolve()
+    os.chdir(qroot)  # manifests carry quality-root-relative prefixes
     cfg = Config.load(exp_dir / "config.json")
     model, params, state = _load_model(
         cfg, str(exp_dir / "checkpoint_latest.npz"), use_ema=True
@@ -136,16 +149,33 @@ def main():
     print("== reconstruction: dev ==")
     dev_rows = reconstruction_metrics(
         cfg, model, params, state, qroot / "dump/2019/english/dev",
-        out_dir=exp_dir / "recon_dev",
+        n_utts=n_utts, out_dir=exp_dir / "recon_dev", max_frames=max_frames,
     )
     print("== reconstruction: test ==")
     test_rows = reconstruction_metrics(
         cfg, model, params, state, qroot / "dump/2019/english/test",
-        out_dir=exp_dir / "recon_test",
+        n_utts=n_utts, out_dir=exp_dir / "recon_test", max_frames=max_frames,
     )
     for name, rows in [("dev", dev_rows), ("test", test_rows)]:
         out[f"{name}_mcd_db_mean"] = float(np.mean([r["mcd_db"] for r in rows]))
         out[f"{name}_mel_l1_mean"] = float(np.mean([r["mel_l1"] for r in rows]))
+
+    # calibration floor/ceiling for the MCD scale used here (dsp.mfcc
+    # cepstra): mismatched ground-truth pairs = "unrelated audio" ceiling
+    man = Manifest.read(qroot / "dump/2019/english/test")
+    gts = []
+    for u in man.utterances[:6]:
+        w = np.load(u.path("wave")).astype(np.float32)
+        gts.append(dsp.inv_mulaw_quantize(w, cfg.quantize_channels - 1))
+    mis = [
+        mcd_db(dsp.mfcc(gts[i], cfg).T, dsp.mfcc(gts[(i + 1) % len(gts)], cfg).T)
+        for i in range(len(gts))
+    ]
+    out["mcd_db_mismatched_gt_pairs"] = float(np.mean(mis))
+    mis_l1 = [
+        mel_l1(cfg, gts[i], gts[(i + 1) % len(gts)]) for i in range(len(gts))
+    ]
+    out["mel_l1_mismatched_gt_pairs"] = float(np.mean(mis_l1))
     (exp_dir / "quality_metrics.json").write_text(json.dumps(out, indent=2))
     print(json.dumps(out, indent=2))
 
