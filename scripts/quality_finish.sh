@@ -1,0 +1,41 @@
+#!/bin/bash
+# Post-training quality evaluation runbook — run AFTER the trainer exits
+# (quality/TRAIN_DONE exists or the process is gone). Produces everything
+# QUALITY.md cites, on the real chip:
+#   1. curves + reconstruction MCD/mel-L1 (+ wavs) from the EMA checkpoint
+#   2. ABX txt export + bitrate.json (full submission representations)
+#   3. ABX-proxy scores (latents vs MFCC baseline)
+#   4. voice-conversion synthesis for the test list
+#   5. offline submission validation
+set -ex
+cd /root/repo
+Q=/root/repo/quality
+EXP=$Q/exp/svqwae
+
+timeout 3600 python scripts/quality_eval.py $EXP $Q 8 600 2>&1 | tail -40
+
+timeout 1200 python scripts/run_quality_infer.py exp/svqwae/checkpoint_latest_ema.npz abx_final 2>&1 | tail -4
+timeout 600 python scripts/abx_proxy.py $Q/abx_final/2019/english/test $Q/raw/test_phone_labels.json $Q/dump/2019/english/test 2>&1 | tail -4
+
+cd $Q
+timeout 3000 python - <<'EOF'
+import os, sys
+sys.path.insert(0, "/root/repo")
+os.chdir("/root/repo/quality")
+from wavenet_autoencoders_tpu.cli.main import main
+main([
+    "synthesize", "--preset", "exp/svqwae/config.json",
+    "exp/svqwae/checkpoint_latest_ema.npz",
+    "dump/2019/english/test", "syn_out", "raw/synthesis.txt",
+    "scp/2019/2019_speaker2ind_english.json", "english",
+    "--train-dump-root", "dump/2019/english/train_no_dev",
+    "--batch", "8",
+])
+EOF
+# merge the ABX txts + VC wavs into one submission tree and validate
+mkdir -p submission/2019/english/test
+cp abx_final/2019/english/test/*.txt submission/2019/english/test/
+cp syn_out/2019/english/test/*.wav submission/2019/english/test/ || true
+cd /root/repo
+python -m wavenet_autoencoders_tpu.cli.main validate $Q/submission
+echo QUALITY-FINISH-OK
