@@ -31,7 +31,7 @@ while [ $restarts -lt 40 ]; do
   done
   # done?
   last=$(grep -o 'step [0-9]*' "$LOG" | tail -1 | cut -d' ' -f2)
-  if [ "${last:-0}" -ge 49999 ]; then
+  if [ "${last:-0}" -ge 39999 ]; then
     touch "$DONE_MARK"; echo "watchdog2: training complete at step $last" >> "$LOG"; exit 0
   fi
   if ! kill -0 $PID 2>/dev/null && ! pgrep -f run_quality_train.py >/dev/null; then

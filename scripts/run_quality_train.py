@@ -14,10 +14,10 @@ args = [
     "--hparams",
     'checkpoint_interval=1000,train_eval_interval=1000000,'
     'test_eval_epoch_interval=1000000,dev_batch_size=6,dev_epoch_interval=25,'
-    'lr_schedule_kwargs={"anneal_rate": 0.5, "anneal_interval": 25000}',
+    'lr_schedule_kwargs={"anneal_rate": 0.5, "anneal_interval": 20000}',
     "dump/2019/english/train_no_dev", "exp/svqwae",
     "--dev-dump-root", "dump/2019/english/dev",
-    "--max-steps", "50000",
+    "--max-steps", "40000",
 ]
 ckpt = "exp/svqwae/checkpoint_latest.npz"
 if os.path.exists(ckpt):
