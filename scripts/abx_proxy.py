@@ -36,8 +36,7 @@ def load_segments(vec_per_utt: dict, labels: dict, rate_hz: float):
             b = min(b, len(mat))
             if b - a < 1:
                 continue
-            v = mat[a:b].mean(0)
-            segs.append((ph, spk, utt, v))
+            segs.append((ph, spk, utt, mat[a:b]))
     return segs
 
 
@@ -47,7 +46,26 @@ def cosd(a, b):
     return 1.0 - float(np.dot(a, b) / (na * nb))
 
 
-def abx_error(segs, across_speaker: bool, n_triplets=20000, seed=0):
+def dtw_cosd(A: np.ndarray, B: np.ndarray) -> float:
+    """Mean cosine distance along the DTW alignment path of two (T, D)
+    segments — the ZS19 toolkit's distance (DTW + frame-wise angular
+    distance) rather than segment means."""
+    na = A / (np.linalg.norm(A, axis=1, keepdims=True) + 1e-9)
+    nb = B / (np.linalg.norm(B, axis=1, keepdims=True) + 1e-9)
+    d = 1.0 - na @ nb.T  # (Ta, Tb) local distances
+    Ta, Tb = d.shape
+    acc = np.full((Ta + 1, Tb + 1), np.inf)
+    acc[0, 0] = 0.0
+    for i in range(1, Ta + 1):
+        for j in range(1, Tb + 1):
+            acc[i, j] = d[i - 1, j - 1] + min(
+                acc[i - 1, j], acc[i, j - 1], acc[i - 1, j - 1]
+            )
+    # normalize by path length (approximate with max(Ta, Tb))
+    return float(acc[Ta, Tb] / max(Ta, Tb))
+
+
+def abx_error(segs, across_speaker: bool, n_triplets=20000, seed=0, dtw=False):
     rng = np.random.default_rng(seed)
     by = defaultdict(list)
     for ph, spk, utt, v in segs:
@@ -73,7 +91,10 @@ def abx_error(segs, across_speaker: bool, n_triplets=20000, seed=0):
         ux, vx = X_pool[rng.integers(len(X_pool))]
         if not across_speaker and (ux == ua):
             continue  # within-speaker X must come from a different utterance
-        err += cosd(vx, va) >= cosd(vx, vb)
+        if dtw:
+            err += dtw_cosd(vx, va) >= dtw_cosd(vx, vb)
+        else:
+            err += cosd(vx.mean(0), va.mean(0)) >= cosd(vx.mean(0), vb.mean(0))
         n += 1
     return 100.0 * err / max(n, 1), n
 
@@ -103,14 +124,19 @@ def main():
         segs = load_segments(vecs, labels, rate)
         across, n_a = abx_error(segs, across_speaker=True)
         within, n_w = abx_error(segs, across_speaker=False)
+        across_d, _ = abx_error(segs, across_speaker=True, n_triplets=4000, dtw=True)
+        within_d, _ = abx_error(segs, across_speaker=False, n_triplets=4000, dtw=True)
         out[name] = {
             "abx_across_speaker_err_pct": round(across, 2),
             "abx_within_speaker_err_pct": round(within, 2),
+            "abx_dtw_across_speaker_err_pct": round(across_d, 2),
+            "abx_dtw_within_speaker_err_pct": round(within_d, 2),
             "n_segments": len(segs),
             "n_triplets": [n_a, n_w],
         }
         print(f"{name:14s} across-spk ABX err {across:5.2f}%  "
-              f"within-spk {within:5.2f}%  ({len(segs)} segments)")
+              f"within-spk {within:5.2f}%  "
+              f"(DTW: {across_d:5.2f}/{within_d:5.2f})  ({len(segs)} segments)")
     print(json.dumps(out))
     (abx_dir.parent / "abx_proxy.json").write_text(json.dumps(out, indent=2))
 

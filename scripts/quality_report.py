@@ -59,7 +59,8 @@ def main():
             a = _j(p)["latents"]
             rows.append(
                 f"| latents @ {tag} | {a['abx_across_speaker_err_pct']:.1f} | "
-                f"{a['abx_within_speaker_err_pct']:.1f} |"
+                f"{a['abx_within_speaker_err_pct']:.1f} | "
+                f"{a.get('abx_dtw_across_speaker_err_pct', float('nan')):.1f} |"
             )
     base = None
     for tag in ["final", "step25000", "step10000", "step2000"]:
@@ -67,12 +68,15 @@ def main():
         if p.exists():
             base = _j(p)["mfcc_baseline"]
             break
-    out.append("| representation | across-spk ABX err % | within-spk ABX err % |\n|---|---|---|")
+    out.append(
+        "| representation | across-spk ABX err % | within-spk ABX err % | DTW across-spk % |\n|---|---|---|---|"
+    )
     out.extend(rows)
     if base:
         out.append(
             f"| MFCC-39 baseline (challenge input feats) | "
-            f"{base['abx_across_speaker_err_pct']:.1f} | {base['abx_within_speaker_err_pct']:.1f} |"
+            f"{base['abx_across_speaker_err_pct']:.1f} | {base['abx_within_speaker_err_pct']:.1f} | "
+            f"{base.get('abx_dtw_across_speaker_err_pct', float('nan')):.1f} |"
         )
     out.append("")
     for tag in ["step2000", "step10000", "step25000", "final"]:
