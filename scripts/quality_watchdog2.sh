@@ -1,7 +1,11 @@
 #!/bin/bash
 # v2: adopt an already-running trainer; after any (re)launch allow a 900 s
 # compile grace before stall detection (first axon compile can take ~7 min).
-LOG=/root/repo/quality/train.log
+# Env: QR_LOG (log file), QR_STEPS (done threshold), QR_EXP/QR_HP passed
+# through to run_quality_train.py.
+LOG=${QR_LOG:-/root/repo/quality/train.log}
+STEPS=${QR_STEPS:-40000}
+DONE_AT=$((STEPS - 1))
 DONE_MARK=/root/repo/quality/TRAIN_DONE
 rm -f "$DONE_MARK"
 restarts=0
@@ -31,7 +35,7 @@ while [ $restarts -lt 40 ]; do
   done
   # done?
   last=$(grep -o 'step [0-9]*' "$LOG" | tail -1 | cut -d' ' -f2)
-  if [ "${last:-0}" -ge 39999 ]; then
+  if [ "${last:-0}" -ge "$DONE_AT" ]; then
     touch "$DONE_MARK"; echo "watchdog2: training complete at step $last" >> "$LOG"; exit 0
   fi
   if ! kill -0 $PID 2>/dev/null && ! pgrep -f run_quality_train.py >/dev/null; then

@@ -1,7 +1,10 @@
 """Quality-run launcher: package import from /root/repo, cwd=quality/
 (the manifests carry quality-relative dump prefixes). Auto-resumes from
 checkpoint_latest.npz when present, so the watchdog can restart it after
-an axon-tunnel stall."""
+an axon-tunnel stall.
+
+Env overrides: QR_EXP (exp dir rel to quality/), QR_STEPS, QR_HP (extra
+"k=v,..." appended to the base hparams)."""
 import os
 import sys
 
@@ -9,17 +12,27 @@ sys.path.insert(0, "/root/repo")
 os.chdir("/root/repo/quality")
 from wavenet_autoencoders_tpu.cli.main import main
 
+exp = os.environ.get("QR_EXP", "exp/svqwae")
+steps = os.environ.get("QR_STEPS", "40000")
+extra = os.environ.get("QR_HP", "")
+anneal = int(int(steps) / 2)
+
+hp = (
+    "checkpoint_interval=1000,train_eval_interval=1000000,"
+    "test_eval_epoch_interval=1000000,dev_batch_size=6,dev_epoch_interval=25,"
+    'lr_schedule_kwargs={"anneal_rate": 0.5, "anneal_interval": %d}' % anneal
+)
+if extra:
+    hp = hp + "," + extra
+
 args = [
     "train", "--preset", "svqwae",
-    "--hparams",
-    'checkpoint_interval=1000,train_eval_interval=1000000,'
-    'test_eval_epoch_interval=1000000,dev_batch_size=6,dev_epoch_interval=25,'
-    'lr_schedule_kwargs={"anneal_rate": 0.5, "anneal_interval": 20000}',
-    "dump/2019/english/train_no_dev", "exp/svqwae",
+    "--hparams", hp,
+    "dump/2019/english/train_no_dev", exp,
     "--dev-dump-root", "dump/2019/english/dev",
-    "--max-steps", "40000",
+    "--max-steps", steps,
 ]
-ckpt = "exp/svqwae/checkpoint_latest.npz"
+ckpt = f"{exp}/checkpoint_latest.npz"
 if os.path.exists(ckpt):
     args += ["--checkpoint", ckpt]
 main(args)
