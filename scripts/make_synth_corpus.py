@@ -179,40 +179,72 @@ def write_wav(path: Path, y: np.ndarray):
     wavfile.write(path, SR, (np.clip(y, -1, 1) * 32767).astype(np.int16))
 
 
+def _render_one(job):
+    """(path, spk_profile, seed_tuple, want_segs) -> segments or None.
+    Per-utterance rng: order- and count-independent regeneration."""
+    path, spk, seed_tuple, want_segs = job
+    rng = np.random.default_rng(seed_tuple)
+    y, segs = synth_utterance(rng, spk)
+    write_wav(path, y)
+    return segs if want_segs else None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("out_root")
     ap.add_argument("--n-unit", type=int, default=600)
     ap.add_argument("--n-voice", type=int, default=60)
     ap.add_argument("--n-test", type=int, default=40)
+    ap.add_argument("--n-spk", type=int, default=8, help="unit speakers")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--jobs", type=int, default=2)
     args = ap.parse_args()
 
-    rng = np.random.default_rng(args.seed)
     root = Path(args.out_root) / "english"
-    unit_speakers = {f"S{i:03d}": speaker_profile(rng, "m" if i % 2 else "f") for i in range(8)}
-    voice_speakers = {f"V00{i+1}": speaker_profile(rng, "m" if i else "f") for i in range(2)}
-    test_speakers = {f"S09{i}": speaker_profile(rng, "m" if i % 2 else "f") for i in range(2)}
+    # speaker profiles from dedicated streams — stable under any counts
+    unit_speakers = {
+        f"S{i:03d}": speaker_profile(np.random.default_rng([args.seed, 1, i]), "m" if i % 2 else "f")
+        for i in range(args.n_spk)
+    }
+    voice_speakers = {
+        f"V00{i+1}": speaker_profile(np.random.default_rng([args.seed, 2, i]), "m" if i else "f")
+        for i in range(2)
+    }
+    test_speakers = {
+        f"S09{i}": speaker_profile(np.random.default_rng([args.seed, 3, i]), "m" if i % 2 else "f")
+        for i in range(2)
+    }
 
+    jobs = []
     for i in range(args.n_unit):
-        spk = f"S{i % 8:03d}"
-        y, _ = synth_utterance(rng, unit_speakers[spk])
-        write_wav(root / "train/unit" / f"{spk}_{10000 + i}.wav", y)
+        spk = f"S{i % args.n_spk:03d}"
+        jobs.append((root / "train/unit" / f"{spk}_{10000 + i}.wav",
+                     unit_speakers[spk], (args.seed, 10, i), False))
     for i in range(args.n_voice):
         spk = f"V00{i % 2 + 1}"
-        y, _ = synth_utterance(rng, voice_speakers[spk])
-        write_wav(root / "train/voice" / f"{spk}_{20000 + i}.wav", y)
-    syn_lines = []
-    import json
-
-    labels = {}
+        jobs.append((root / "train/voice" / f"{spk}_{20000 + i}.wav",
+                     voice_speakers[spk], (args.seed, 20, i), False))
+    test_names, syn_lines = [], []
     for i in range(args.n_test):
         spk = f"S09{i % 2}"
-        y, segs = synth_utterance(rng, test_speakers[spk])
         name = f"{spk}_{30000 + i}"
-        write_wav(root / "test" / f"{name}.wav", y)
-        labels[name] = [list(s) for s in segs]
+        test_names.append(name)
+        jobs.append((root / "test" / f"{name}.wav",
+                     test_speakers[spk], (args.seed, 30, i), True))
         syn_lines.append(f"{name} V00{i % 2 + 1}")
+
+    import json
+    from multiprocessing import Pool
+
+    if args.jobs > 1:
+        with Pool(args.jobs) as pool:
+            results = pool.map(_render_one, jobs, chunksize=16)
+    else:
+        results = [_render_one(j) for j in jobs]
+
+    labels = {}
+    for name, segs in zip(test_names, results[-args.n_test:]):
+        labels[name] = [list(s) for s in segs]
     (Path(args.out_root) / "synthesis.txt").write_text("\n".join(syn_lines) + "\n")
     (Path(args.out_root) / "test_phone_labels.json").write_text(json.dumps(labels))
     print(f"wrote {args.n_unit}+{args.n_voice} train, {args.n_test} test wavs -> {root}")
