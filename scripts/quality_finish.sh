@@ -7,29 +7,34 @@
 #   3. ABX-proxy scores (latents vs MFCC baseline)
 #   4. voice-conversion synthesis for the test list
 #   5. offline submission validation
+# Env: QF_EXP (exp dir under quality/, default exp/svqwae_jitter),
+#      QF_UTTS / QF_FRAMES (reconstruction sample sizes).
 set -ex
 cd /root/repo
 Q=/root/repo/quality
-EXP=$Q/exp/svqwae
+EXPNAME=${QF_EXP:-exp/svqwae_jitter}
+EXP=$Q/$EXPNAME
+UTTS=${QF_UTTS:-6}
+FRAMES=${QF_FRAMES:-400}
 
-timeout 3600 python scripts/quality_eval.py $EXP $Q 8 600 2>&1 | tail -40
+timeout 2400 python scripts/quality_eval.py $EXP $Q $UTTS $FRAMES 2>&1 | tail -40
 
-timeout 1200 python scripts/run_quality_infer.py exp/svqwae/checkpoint_latest_ema.npz abx_final 2>&1 | tail -4
-timeout 600 python scripts/abx_proxy.py $Q/abx_final/2019/english/test $Q/raw/test_phone_labels.json $Q/dump/2019/english/test 2>&1 | tail -4
+timeout 1200 python scripts/run_quality_infer.py $EXPNAME/checkpoint_latest_ema.npz abx_final 2>&1 | tail -4
+timeout 900 python scripts/abx_proxy.py $Q/abx_final/2019/english/test $Q/raw/test_phone_labels.json $Q/dump/2019/english/test 2>&1 | tail -4
 
 cd $Q
-timeout 3000 python - <<'EOF'
+timeout 2400 python - <<EOF
 import os, sys
 sys.path.insert(0, "/root/repo")
 os.chdir("/root/repo/quality")
 from wavenet_autoencoders_tpu.cli.main import main
 main([
-    "synthesize", "--preset", "exp/svqwae/config.json",
-    "exp/svqwae/checkpoint_latest_ema.npz",
+    "synthesize", "--preset", "$EXPNAME/config.json",
+    "$EXPNAME/checkpoint_latest_ema.npz",
     "dump/2019/english/test", "syn_out", "raw/synthesis.txt",
     "scp/2019/2019_speaker2ind_english.json", "english",
     "--train-dump-root", "dump/2019/english/train_no_dev",
-    "--batch", "8",
+    "--batch", "16",
 ])
 EOF
 # merge the ABX txts + VC wavs into one submission tree and validate
