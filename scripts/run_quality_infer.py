@@ -1,6 +1,9 @@
 """CPU ABX export from a quality-run checkpoint (does not touch the TPU).
 
-Usage: python scripts/run_quality_infer.py <ckpt.npz> <dst_rel_to_quality>
+Usage: python scripts/run_quality_infer.py <ckpt.npz> <dst_rel_to_quality> [preset]
+
+The preset defaults to the config.json sitting next to the checkpoint, so
+the same script serves every quality experiment directory.
 """
 import os
 import sys
@@ -17,7 +20,9 @@ os.chdir("/root/repo/quality")
 from wavenet_autoencoders_tpu.cli.main import main
 
 ckpt, dst = sys.argv[1], sys.argv[2]
+preset = sys.argv[3] if len(sys.argv) > 3 else os.path.join(
+    os.path.dirname(ckpt), "config.json")
 main([
-    "infer", "--preset", "exp/svqwae/config.json",
+    "infer", "--preset", preset,
     ckpt, "scp/2019/test_src_dst.json", dst, "--lan", "english",
 ])

@@ -73,12 +73,16 @@ def test_abx_proxy_separable_vs_random():
     # add a small offset
     dirs = {p: np.eye(8)[i] for i, p in enumerate(phones)}
     segs, segs_rand = [], []
+    # abx_error takes (T, D) segment matrices (frame sequences), not mean
+    # vectors: give each segment a few noisy frames around its direction
     for spk in ["S090", "S091"]:
         off = rng.standard_normal(8) * 0.05
         for k in range(40):
             p = phones[k % 4]
-            segs.append((p, spk, f"{spk}_{k}", dirs[p] + off))
-            segs_rand.append((p, spk, f"{spk}_{k}", rng.standard_normal(8)))
+            T = int(rng.integers(2, 6))
+            frames = dirs[p] + off + rng.standard_normal((T, 8)) * 0.02
+            segs.append((p, spk, f"{spk}_{k}", frames))
+            segs_rand.append((p, spk, f"{spk}_{k}", rng.standard_normal((T, 8))))
     err, n = abx_error(segs, across_speaker=True, n_triplets=2000)
     assert n > 500 and err < 5.0, (err, n)
     err_r, n_r = abx_error(segs_rand, across_speaker=True, n_triplets=2000)
@@ -93,5 +97,6 @@ def test_abx_load_segments_frame_windows():
     labels = {"S090_1": [["a", 0.0, 0.08], ["e", 0.08, 0.4]]}
     segs = load_segments({"S090_1": mat}, labels, 25.0)
     assert len(segs) == 2
-    # first segment covers frames 0..2 -> mean 0.5
-    assert segs[0][0] == "a" and abs(segs[0][3][0] - 0.5) < 1e-9
+    # first segment covers frames 0..2 (a (2, 1) matrix, mean 0.5)
+    assert segs[0][0] == "a" and segs[0][3].shape == (2, 1)
+    assert abs(segs[0][3].mean() - 0.5) < 1e-9
