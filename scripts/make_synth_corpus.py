@@ -72,15 +72,25 @@ def formant_envelope(freqs: np.ndarray, formants, bws=(90.0, 110.0, 170.0)) -> n
     return out
 
 
+# phone-duration range (s) and coarticulation-smoothing width (10 ms frames).
+# Defaults reproduce the round-3 run-A/B corpora; shorter/sharper settings
+# raise the predictive value of the conditioning for the AR decoder (the
+# anti-bottleneck-collapse lever identified by runs A/B).
+DUR_RANGE = (0.07, 0.22)
+SMOOTH_W = 9
+
+
 def synth_utterance(rng: np.random.Generator, spk: dict, n_phones: int | None = None):
     """Returns (waveform, segments) where segments is a list of
     (phone, start_sec, end_sec) — ground-truth alignments for ABX-style
     evaluation of learned representations. No rng draws depend on the
     bookkeeping, so corpora regenerate byte-identically per seed."""
     if n_phones is None:
-        n_phones = int(rng.integers(10, 22))
+        # keep utterances ~1.5-3.2 s regardless of the phone-duration range
+        avg = 0.5 * (DUR_RANGE[0] + DUR_RANGE[1])
+        n_phones = int(rng.integers(max(int(1.5 / avg), 4), int(3.2 / avg)))
     phones = [PHONES[i] for i in rng.integers(0, len(PHONES), n_phones)]
-    durs = rng.uniform(0.07, 0.22, n_phones)
+    durs = rng.uniform(DUR_RANGE[0], DUR_RANGE[1], n_phones)
     # 10 ms control frames
     hop = SR // 100
     n_frames = int(np.ceil(durs.sum() * 100)) + 10
@@ -118,9 +128,9 @@ def synth_utterance(rng: np.random.Generator, spk: dict, n_phones: int | None = 
             return np.convolve(x, k, mode="same")
         return np.stack([np.convolve(x[:, j], k, mode="same") for j in range(x.shape[1])], 1)
 
-    f_formants = smooth(f_formants, 9)
-    f_amp = smooth(f_amp, 9)
-    f_voiced = smooth(f_voiced, 9)
+    f_formants = smooth(f_formants, SMOOTH_W)
+    f_amp = smooth(f_amp, SMOOTH_W)
+    f_voiced = smooth(f_voiced, SMOOTH_W)
 
     # F0 track: declination + slow wander + jitter
     f0 = spk["f0"] * (1.0 - 0.18 * np.linspace(0, 1, n_frames))
@@ -190,6 +200,7 @@ def _render_one(job):
 
 
 def main():
+    global DUR_RANGE, SMOOTH_W
     ap = argparse.ArgumentParser()
     ap.add_argument("out_root")
     ap.add_argument("--n-unit", type=int, default=600)
@@ -198,7 +209,13 @@ def main():
     ap.add_argument("--n-spk", type=int, default=8, help="unit speakers")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--jobs", type=int, default=2)
+    ap.add_argument("--dur-min", type=float, default=DUR_RANGE[0])
+    ap.add_argument("--dur-max", type=float, default=DUR_RANGE[1])
+    ap.add_argument("--smooth-w", type=int, default=SMOOTH_W)
     args = ap.parse_args()
+
+    DUR_RANGE = (args.dur_min, args.dur_max)
+    SMOOTH_W = args.smooth_w  # fork-based Pool inherits these globals
 
     root = Path(args.out_root) / "english"
     # speaker profiles from dedicated streams — stable under any counts
