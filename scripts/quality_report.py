@@ -8,7 +8,10 @@ Reads, from /root/repo/quality:
   submission validation result                          (CLI validate, run here)
 
 Prints the markdown for §3 to stdout; paste/commit into QUALITY.md.
-Usage: python scripts/quality_report.py
+Usage: python scripts/quality_report.py [exp_rel] [abx_prefix]
+  exp_rel    experiment dir relative to quality/ (default exp/svqwae_rf)
+  abx_prefix prefix of the ABX export dirs (default abxC) — the script
+             scans <prefix>_step*/ plus abx_final/
 """
 from __future__ import annotations
 
@@ -18,7 +21,20 @@ import sys
 from pathlib import Path
 
 Q = Path("/root/repo/quality")
-EXP = Q / "exp/svqwae"
+EXP = Q / (sys.argv[1] if len(sys.argv) > 1 else "exp/svqwae_rf")
+ABX_PREFIX = sys.argv[2] if len(sys.argv) > 2 else "abxC"
+
+
+def _abx_dirs():
+    """[(tag, dir)] in step order, final last."""
+    pairs = sorted(
+        ((int(d.name.split("step")[-1]), d)
+         for d in Q.glob(f"{ABX_PREFIX}_step*") if d.is_dir()),
+    )
+    out = [(f"step{n}", d) for n, d in pairs]
+    if (Q / "abx_final").is_dir():
+        out.append(("final", Q / "abx_final"))
+    return out
 
 
 def _j(p):
@@ -53,8 +69,8 @@ def main():
 
     out.append("### 3.3 Representation discriminability (ABX proxy) & bitrate\n")
     rows = []
-    for tag in ["step2000", "step10000", "step25000", "final"]:
-        p = Q / f"abx_{tag}/2019/english/abx_proxy.json"
+    for tag, d in _abx_dirs():
+        p = d / "2019/english/abx_proxy.json"
         if p.exists():
             a = _j(p)["latents"]
             rows.append(
@@ -63,8 +79,8 @@ def main():
                 f"{a.get('abx_dtw_across_speaker_err_pct', float('nan')):.1f} |"
             )
     base = None
-    for tag in ["final", "step25000", "step10000", "step2000"]:
-        p = Q / f"abx_{tag}/2019/english/abx_proxy.json"
+    for tag, d in reversed(_abx_dirs()):
+        p = d / "2019/english/abx_proxy.json"
         if p.exists():
             base = _j(p)["mfcc_baseline"]
             break
@@ -79,8 +95,8 @@ def main():
             f"{base.get('abx_dtw_across_speaker_err_pct', float('nan')):.1f} |"
         )
     out.append("")
-    for tag in ["step2000", "step10000", "step25000", "final"]:
-        p = Q / f"abx_{tag}/bitrate.json"
+    for tag, d in _abx_dirs():
+        p = d / "bitrate.json"
         if p.exists():
             b = _j(p)
             out.append(

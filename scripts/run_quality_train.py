@@ -3,8 +3,9 @@
 checkpoint_latest.npz when present, so the watchdog can restart it after
 an axon-tunnel stall.
 
-Env overrides: QR_EXP (exp dir rel to quality/), QR_STEPS, QR_HP (extra
-"k=v,..." appended to the base hparams)."""
+Env overrides: QR_EXP (exp dir rel to quality/), QR_STEPS, QR_PRESET
+(bundled preset name, default svqwae), QR_HP (extra "k=v,..." appended
+to the base hparams)."""
 import os
 import sys
 
@@ -14,6 +15,7 @@ from wavenet_autoencoders_tpu.cli.main import main
 
 exp = os.environ.get("QR_EXP", "exp/svqwae")
 steps = os.environ.get("QR_STEPS", "40000")
+preset = os.environ.get("QR_PRESET", "svqwae")
 extra = os.environ.get("QR_HP", "")
 anneal = int(int(steps) / 2)
 
@@ -26,7 +28,7 @@ if extra:
     hp = hp + "," + extra
 
 args = [
-    "train", "--preset", "svqwae",
+    "train", "--preset", preset,
     "--hparams", hp,
     "dump/2019/english/train_no_dev", exp,
     "--dev-dump-root", "dump/2019/english/dev",
