@@ -11,7 +11,8 @@ Distinguishes "conditioning channel broken/useless by construction" from
 "optimization dynamics abandon it": run on an early checkpoint where the
 exported codes are still phone-informative (ABX < chance).
 
-Usage (cwd-independent; TPU or JAX_PLATFORMS=cpu):
+Usage (cwd-independent; defaults to CPU so it can run beside a TPU
+training job; set PROBE_TPU=1 to use the chip):
   python scripts/probe_conditioning.py <exp_dir> <ckpt.npz> [dev_dump_root]
 """
 from __future__ import annotations
@@ -24,7 +25,15 @@ from pathlib import Path
 sys.path.insert(0, "/root/repo")
 os.chdir("/root/repo/quality")
 
+if not os.environ.get("PROBE_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+
 import jax
+
+if not os.environ.get("PROBE_TPU"):
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -40,7 +49,11 @@ def main():
     ckpt = sys.argv[2]
     dev_root = sys.argv[3] if len(sys.argv) > 3 else "dump/2019/english/dev"
     cfg = Config.load(exp / "config.json")
-    model, params, mstate = _load_model(cfg, ckpt)
+    # raw weights by default: at small step counts the 0.9999-decay EMA is
+    # still dominated by the random init (0.9999^1000 = 0.90) and probes the
+    # wrong model. PROBE_EMA=1 restores the EMA-sibling preference.
+    model, params, mstate = _load_model(
+        cfg, ckpt, use_ema=bool(os.environ.get("PROBE_EMA")))
 
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 
@@ -57,7 +70,10 @@ def main():
     ds = WaveDataset(dev_root, cfg, feat_type="mfcc")
     acc = {"true": 0.0, "rolled": 0.0, "zero": 0.0}
     perp_acc, n = 0.0, 0
-    for batch in data_iterator(ds, cfg, batch_size=8, prefetch=0, epochs=1):
+    max_batches = int(os.environ.get("PROBE_BATCHES", "3"))
+    for bi, batch in enumerate(data_iterator(ds, cfg, batch_size=8, prefetch=0, epochs=1)):
+        if bi >= max_batches:
+            break
         c = batch["c"]
         variants = {
             "true": c,
@@ -70,6 +86,8 @@ def main():
             if k == "true":
                 perp_acc += float(perp)
         n += 1
+        print(f"batch {bi}: " + ", ".join(
+            f"{k}={acc[k]/n:.4f}" for k in acc), flush=True)
     res = {k: round(v / n, 4) for k, v in acc.items()}
     res["perplexity_true"] = round(perp_acc / n, 2)
     res["ckpt"] = ckpt

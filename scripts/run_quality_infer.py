@@ -22,7 +22,10 @@ from wavenet_autoencoders_tpu.cli.main import main
 ckpt, dst = sys.argv[1], sys.argv[2]
 preset = sys.argv[3] if len(sys.argv) > 3 else os.path.join(
     os.path.dirname(ckpt), "config.json")
-main([
+args = [
     "infer", "--preset", preset,
     ckpt, "scp/2019/test_src_dst.json", dst, "--lan", "english",
-])
+]
+if os.environ.get("QI_RAW"):  # score the raw weights, not the EMA sibling
+    args.append("--no-use-ema")
+main(args)

@@ -85,7 +85,9 @@ def main(argv=None):
     p.add_argument("scp")
     p.add_argument("dst_dir")
     p.add_argument("--feat", default="mfcc.norm")
-    p.add_argument("--use-ema", action="store_true", default=True)
+    p.add_argument("--use-ema", action=argparse.BooleanOptionalAction, default=True,
+                   help="load the *_ema checkpoint sibling (reference eval "
+                        "behavior); --no-use-ema evaluates the raw weights")
     p.add_argument("--lan", default=None, help="submission language dir (else inferred from dump paths)")
 
     p = sub.add_parser("synthesize", help="voice-conversion synthesis")
