@@ -102,6 +102,8 @@ def main(argv=None):
     p.add_argument("--tar-utt-map", default=None, help="json: speaker -> mfcc.norm.npy for AdaIN (default: auto from train dump)")
     p.add_argument("--train-dump-root", default=None, help="train_no_dev dump dir for auto tar_c selection")
     p.add_argument("--batch", type=int, default=1, help="utterances decoded in parallel")
+    p.add_argument("--use-ema", action=argparse.BooleanOptionalAction, default=True,
+                   help="load the *_ema checkpoint sibling; --no-use-ema uses raw weights")
 
     p = sub.add_parser(
         "validate",
@@ -179,7 +181,7 @@ def main(argv=None):
 
     elif args.cmd == "synthesize":
         cfg = _cfg_from(args)
-        model, params, state = _load_model(cfg, args.checkpoint, use_ema=True)
+        model, params, state = _load_model(cfg, args.checkpoint, use_ema=args.use_ema)
         from wavenet_autoencoders_tpu.eval.synthesize import run_synthesis_list
 
         tar_map = json.load(open(args.tar_utt_map)) if args.tar_utt_map else None
