@@ -3,14 +3,15 @@
 checkpoint_latest.npz when present, so the watchdog can restart it after
 an axon-tunnel stall.
 
-Env overrides: QR_EXP (exp dir rel to quality/), QR_STEPS, QR_PRESET
-(bundled preset name, default svqwae), QR_HP (extra "k=v,..." appended
-to the base hparams)."""
+Env overrides: QR_ROOT (working corpus dir, default /root/repo/quality),
+QR_EXP (exp dir rel to QR_ROOT), QR_STEPS, QR_PRESET (bundled preset
+name, default svqwae), QR_HP (extra "k=v,..." appended to the base
+hparams)."""
 import os
 import sys
 
 sys.path.insert(0, "/root/repo")
-os.chdir("/root/repo/quality")
+os.chdir(os.environ.get("QR_ROOT", "/root/repo/quality"))
 from wavenet_autoencoders_tpu.cli.main import main
 
 exp = os.environ.get("QR_EXP", "exp/svqwae")
