@@ -15,7 +15,7 @@ sys.path.insert(0, "/root/repo")
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-os.chdir("/root/repo/quality")
+os.chdir(os.environ.get("QI_ROOT", "/root/repo/quality"))
 
 from wavenet_autoencoders_tpu.cli.main import main
 
