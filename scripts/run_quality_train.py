@@ -10,6 +10,7 @@ hparams)."""
 import os
 import sys
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 sys.path.insert(0, "/root/repo")
 os.chdir(os.environ.get("QR_ROOT", "/root/repo/quality"))
 from wavenet_autoencoders_tpu.cli.main import main
