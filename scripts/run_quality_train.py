@@ -7,8 +7,14 @@ Env overrides: QR_ROOT (working corpus dir, default /root/repo/quality),
 QR_EXP (exp dir rel to QR_ROOT), QR_STEPS, QR_PRESET (bundled preset
 name, default svqwae), QR_HP (extra "k=v,..." appended to the base
 hparams)."""
+import faulthandler
 import os
+import signal
 import sys
+
+# watchdog3 sends SIGUSR1 before killing a stalled trainer: dump every
+# thread's Python stack into the log so the stall is diagnosable
+faulthandler.register(signal.SIGUSR1, all_threads=True)
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 sys.path.insert(0, "/root/repo")

@@ -189,3 +189,32 @@ def test_04b_nepochs_bounds_training(pipeline):
     steps = [json.loads(l)["step"] for l in logs if "loss" in json.loads(l)]
     # 8 utterances / batch 2 = 4 steps per epoch, 1 epoch allowed
     assert max(steps) == 4
+
+
+def test_04b_collapse_abort_exits_3(pipeline):
+    """The collapse monitor must abort with exit code 3 (distinct from a
+    crash) when perplexity sits below the configured floor."""
+    dump = pipeline["dump"] / "english/train_no_dev"
+    ckpt = pipeline["root"] / "ckpt_collapse"
+    with pytest.raises(SystemExit) as ei:
+        cli([
+            "train", "--preset", "svqwae",
+            "--hparams", OVERRIDES + ",collapse_check_step=1,collapse_min_perplexity=1e9",
+            str(dump), str(ckpt), "--max-steps", "6",
+        ])
+    assert ei.value.code == 3
+    # monitor saved a checkpoint on the way out
+    assert (ckpt / "checkpoint_latest.npz").exists()
+
+
+def test_04c_train_with_reseed(pipeline):
+    dump = pipeline["dump"] / "english/train_no_dev"
+    ckpt = pipeline["root"] / "ckpt_reseed"
+    cli([
+        "train", "--preset", "svqwae",
+        "--hparams", OVERRIDES + ",vq_reseed=true,vq_reseed_start=0,vq_warmup_steps=4",
+        str(dump), str(ckpt), "--max-steps", "4",
+    ])
+    logs = (ckpt / "logs/metrics.jsonl").read_text().splitlines()
+    rec = json.loads(logs[-1])
+    assert "reseeded" in rec and np.isfinite(rec["loss"])

@@ -263,3 +263,153 @@ def test_train_step_scalar_mog_normal_head():
     }
     state, m = step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(m["loss"]))
+
+
+# ---------------- anti-collapse levers (round-4 additions) ----------------
+
+
+def test_reseed_revives_dead_codes_sliced():
+    """Dead rows of a gradient (sliced) VQ codebook are replaced by encoder
+    outputs from the batch once their usage EMA is below thresh/K."""
+    cfg = tiny_cfg(sliced=True, ins_norm=True, vq_reseed=True, vq_reseed_start=0)
+    model = build_model(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    sizes = model._codebook_sizes()
+    # usage: first 3 rows of slice 0 dead, slice 1 healthy
+    usage = [np.full((s,), 1.0 / s, np.float32) for s in sizes]
+    usage[0][:3] = 0.0
+    state = {**state, "usage": [jnp.asarray(u) for u in usage]}
+    N, D = 64, model.hid
+    z = jax.random.normal(jax.random.PRNGKey(1), (N, D), jnp.float32)
+    diag = {
+        "z": z,
+        "counts": [jnp.full((s,), 1.0 / s, jnp.float32) for s in sizes],
+    }
+    old0 = np.asarray(params["vq"]["codebooks"][0])
+    new_params, new_state, n_dead = model.revive(
+        params, state, diag, jax.random.PRNGKey(2), jnp.int32(1000)
+    )
+    assert int(n_dead) == 3
+    new0 = np.asarray(new_params["vq"]["codebooks"][0])
+    sub = D // len(sizes)
+    zs = np.asarray(z[:, :sub])
+    for r in range(3):
+        assert not np.allclose(new0[r], old0[r])
+        # revived row is an actual encoder output
+        assert np.any(np.all(np.isclose(zs, new0[r][None, :], atol=1e-6), axis=1))
+    np.testing.assert_allclose(new0[3:], old0[3:])
+    # usage of revived rows reset to uniform
+    u0 = np.asarray(new_state["usage"][0])
+    np.testing.assert_allclose(u0[:3], 1.0 / sizes[0])
+    # slice 1 untouched
+    np.testing.assert_allclose(
+        np.asarray(new_params["vq"]["codebooks"][1]),
+        np.asarray(params["vq"]["codebooks"][1]),
+    )
+
+
+def test_reseed_respects_start_step():
+    cfg = tiny_cfg(sliced=True, vq_reseed=True, vq_reseed_start=500)
+    model = build_model(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    sizes = model._codebook_sizes()
+    usage = [jnp.zeros((s,), jnp.float32) for s in sizes]  # everything "dead"
+    state = {**state, "usage": usage}
+    diag = {
+        "z": jax.random.normal(jax.random.PRNGKey(1), (32, model.hid)),
+        "counts": [jnp.zeros((s,), jnp.float32) for s in sizes],
+    }
+    _, _, n_dead = model.revive(params, state, diag, jax.random.PRNGKey(2), jnp.int32(10))
+    assert int(n_dead) == 0  # before reseed_start: inactive
+
+
+def test_reseed_ema_variant_patches_cluster_stats():
+    cfg = tiny_cfg(sliced=True, ema=True, vq_reseed=True, vq_reseed_start=0)
+    model = build_model(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    sizes = model._codebook_sizes()
+    usage = [np.full((s,), 1.0 / s, np.float32) for s in sizes]
+    usage[0][0] = 0.0
+    state["usage"] = [jnp.asarray(u) for u in usage]
+    # give the EMA stats non-trivial values
+    state["vq"]["cluster_size"] = [jnp.ones((s,)) * 2.0 for s in sizes]
+    state["vq"]["ema_w"] = [
+        2.0 * cb for cb in state["vq"]["codebooks"]
+    ]
+    diag = {
+        "z": jax.random.normal(jax.random.PRNGKey(1), (32, model.hid)),
+        "counts": [jnp.full((s,), 1.0 / s, jnp.float32) for s in sizes],
+    }
+    _, new_state, n_dead = model.revive(
+        params, state, diag, jax.random.PRNGKey(2), jnp.int32(1000)
+    )
+    assert int(n_dead) == 1
+    cb0 = np.asarray(new_state["vq"]["codebooks"][0])
+    cs0 = np.asarray(new_state["vq"]["cluster_size"][0])
+    ew0 = np.asarray(new_state["vq"]["ema_w"][0])
+    # cb = ew / cs must hold for the revived row (next EMA update coherent)
+    np.testing.assert_allclose(ew0[0] / cs0[0], cb0[0], rtol=1e-5)
+    np.testing.assert_allclose(cs0[0], 2.0)  # mean cluster size
+
+
+def test_reseed_in_train_step_structure_stable(tmp_path):
+    """Full jitted train step with revival on: runs repeatedly (donation-
+    safe structure), reports the reseeded metric, checkpoints round-trip."""
+    cfg = tiny_cfg(sliced=True, ins_norm=True, vq_reseed=True,
+                   vq_reseed_start=0, vq_reseed_thresh=0.0)  # thresh 0: no row ever dead
+    model = build_model(cfg)
+    state = init_state(cfg, model, jax.random.PRNGKey(0))
+    assert "usage" in state.model_state
+    step_fn = make_train_step(cfg, model, donate=False)
+    batch = tiny_batch(cfg)
+    for i in range(3):
+        state, m = step_fn(state, batch, jax.random.PRNGKey(1))
+    assert "reseeded" in m and np.isfinite(float(m["reseeded"]))
+    assert "_vq_diag" not in state.model_state
+    save_checkpoint(state, tmp_path)
+    state2 = init_state(cfg, model, jax.random.PRNGKey(3))
+    state2 = load_checkpoint(state2, tmp_path / "checkpoint_latest.npz")
+    np.testing.assert_allclose(
+        np.asarray(state2.model_state["usage"][0]),
+        np.asarray(state.model_state["usage"][0]),
+    )
+
+
+def test_reseed_fires_under_training_when_codes_dead():
+    """With an aggressive threshold every underused code must actually get
+    re-seeded inside the jitted step (end-to-end wiring check)."""
+    cfg = tiny_cfg(sliced=True, ins_norm=True, K=8, vq_reseed=True,
+                   vq_reseed_start=0, vq_reseed_thresh=1.0, vq_reseed_decay=0.0)
+    model = build_model(cfg)
+    state = init_state(cfg, model, jax.random.PRNGKey(0))
+    step_fn = make_train_step(cfg, model, donate=False)
+    batch = tiny_batch(cfg)
+    total = 0.0
+    for i in range(2):
+        state, m = step_fn(state, batch, jax.random.PRNGKey(1))
+        total += float(m["reseeded"])
+    # with thresh=1.0 (dead iff usage < 1/K exactly) some codes in a random
+    # init are below uniform usage on a tiny batch
+    assert total > 0
+
+
+def test_vq_warmup_ramps_aux_loss():
+    cfg = tiny_cfg(sliced=True, vq_warmup_steps=100)
+    model = build_model(cfg)
+    state = init_state(cfg, model, jax.random.PRNGKey(0))
+    step_fn = make_train_step(cfg, model, donate=False)
+    batch = tiny_batch(cfg)
+    state, m = step_fn(state, batch, jax.random.PRNGKey(1))
+    # step 0: ramp = 0 -> loss excludes aux entirely; aux itself reported raw
+    assert float(m["aux_loss"]) > 0
+    np.testing.assert_allclose(float(m["loss"]), float(m["recon_loss"]), rtol=1e-6)
+    # much later the ramp must be 1 (loss = recon + aux)
+    state = state.__class__(
+        params=state.params, opt_state=state.opt_state,
+        ema_params=state.ema_params, model_state=state.model_state,
+        step=jnp.int32(1000),
+    )
+    state, m2 = step_fn(state, batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(
+        float(m2["loss"]), float(m2["recon_loss"]) + float(m2["aux_loss"]), rtol=1e-5
+    )

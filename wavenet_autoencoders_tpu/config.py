@@ -200,6 +200,15 @@ class Config:
     vq_drop: bool = False         # VQ dropout
     drop_dim: int = 0
     beta: float = 0.25            # VQ commitment weight
+    # ---- anti-collapse levers (new; rounds 1-3 showed the reference's
+    # Laplace smoothing alone does not keep the codebook alive) ----
+    vq_reseed: bool = False       # dead-code revival (bottlenecks.reseed_slice)
+    vq_reseed_thresh: float = 0.1 # dead if usage EMA < thresh/K (frac of uniform)
+    vq_reseed_decay: float = 0.99 # usage EMA decay
+    vq_reseed_start: int = 500    # first step revival may fire
+    vq_warmup_steps: int = 0      # linear 0->1 ramp on the VQ aux loss
+    collapse_min_perplexity: float = 0.0  # abort run if perp EMA below this...
+    collapse_check_step: int = 0          # ...at/after this step (0 = off)
     hard: bool = False            # hard Gumbel-softmax (CatWavAE)
     tau: float = 0.1              # Gumbel-softmax temperature
 

@@ -204,6 +204,48 @@ def vq_ema_apply(
 
 
 # ---------------------------------------------------------------------------
+# dead-code revival (anti-collapse; no reference counterpart — the
+# reference's only lever is the Laplace smoothing inside the EMA update at
+# vector_quantization.py:190-217, which rounds 1–3 showed is not enough to
+# keep the codebook alive on a locally-predictive corpus)
+# ---------------------------------------------------------------------------
+
+
+def update_usage(usage: jnp.ndarray, counts: jnp.ndarray, decay: float) -> jnp.ndarray:
+    """EMA of the per-code batch assignment fraction. ``counts`` is the mean
+    one-hot over the batch's latent frames (sums to 1)."""
+    return usage * decay + (1.0 - decay) * counts
+
+
+def reseed_slice(
+    rng,
+    codebook: jnp.ndarray,
+    usage: jnp.ndarray,
+    z_slice: jnp.ndarray,
+    thresh: float,
+    active,
+):
+    """Revive dead codes: rows whose usage EMA fell below ``thresh/K`` (a
+    fraction of the uniform share 1/K) are replaced by random encoder
+    outputs from the current batch, and their usage is reset to uniform so
+    a freshly revived code gets a grace window (~1/(1-decay) steps) before
+    it can be declared dead again.
+
+    Fully branchless (jnp.where masks) so it stays inside the jitted train
+    step; ``active`` is a traced bool gating the whole operation (warm-up).
+
+    Returns (new_codebook, new_usage, dead_mask).
+    """
+    K = codebook.shape[0]
+    dead = (usage < thresh / K) & active
+    cand_idx = jax.random.randint(rng, (K,), 0, z_slice.shape[0])
+    cand = jnp.take(z_slice, cand_idx, axis=0).astype(codebook.dtype)
+    new_cb = jnp.where(dead[:, None], cand, codebook)
+    new_usage = jnp.where(dead, 1.0 / K, usage)
+    return new_cb, new_usage, dead
+
+
+# ---------------------------------------------------------------------------
 # Gumbel-softmax categorical bottleneck (CatWavAE)
 # ---------------------------------------------------------------------------
 

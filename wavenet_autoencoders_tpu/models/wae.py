@@ -130,6 +130,14 @@ class VQWAE(WAEBase):
     time_jitter_per_side: bool = True
     vq_drop: bool = False
     drop_dim: int = 0
+    # dead-code revival (anti-collapse; see bottlenecks.reseed_slice)
+    reseed: bool = False
+    reseed_thresh: float = 0.1
+    reseed_decay: float = 0.99
+    reseed_start: int = 500
+
+    def _codebook_sizes(self) -> list[int]:
+        return bn._slice_sizes(self.K, self.K1, self.num_slices if self.sliced else 1)
 
     def init(self, key):
         k1, k2, k3, k4 = jax.random.split(key, 4)
@@ -144,6 +152,10 @@ class VQWAE(WAEBase):
             params["vq"] = bn.sliced_vq_init(k3, self.K, self.hid, self.num_slices, self.K1)
         else:
             params["vq"] = bn.vq_init(k3, self.K, self.hid)
+        if self.reseed:
+            state["usage"] = [
+                jnp.full((s,), 1.0 / s, jnp.float32) for s in self._codebook_sizes()
+            ]
         if self.post_conv:
             # project quantized code up to the decoder's cin_channels
             from wavenet_autoencoders_tpu.ops.conv import plain_conv1d_init
@@ -201,10 +213,75 @@ class VQWAE(WAEBase):
         enc = self.make_encoder()
         z = enc.apply(params["encoder"], c, dtype=dtype)
         z, rng = self._pre_vq(z, rng, train)
-        q, vq_loss, perp, _idx, new_state = self._quantize(params, state, z, train)
+        q, vq_loss, perp, idx, new_state = self._quantize(params, state, z, train)
+        if train and self.reseed:
+            # stash what revival needs (train.step pops this after the
+            # optimizer update, so the returned-state structure the loop
+            # sees stays invariant): pre-VQ encoder outputs as reseed
+            # candidates + per-slice assignment fractions
+            idxs = idx if idx.ndim == 3 else idx[..., None]
+            sizes = self._codebook_sizes()
+            counts = [
+                jnp.mean(jax.nn.one_hot(idxs[..., i].reshape(-1), s), axis=0)
+                for i, s in enumerate(sizes)
+            ]
+            flat = jax.lax.stop_gradient(
+                z.reshape(-1, z.shape[-1]).astype(jnp.float32)
+            )
+            new_state = {**new_state, "_vq_diag": {"z": flat, "counts": counts}}
         q = self._post_vq(params, q, rng, train, dtype)
         y_hat = self._decoder_forward(params, x, q, g, rng, train, dtype)
         return y_hat, vq_loss, perp, new_state
+
+    def revive(self, params, state, diag, rng, step):
+        """Dead-code revival, run by the train step AFTER the optimizer
+        update: refresh per-code usage EMAs from this batch's assignment
+        counts, then re-seed codebook rows whose usage fell below
+        ``reseed_thresh/K`` with random encoder outputs from the batch.
+        For the EMA bottleneck the cluster statistics of revived rows are
+        patched too (cs←mean cluster size, ew←cand·cs) so the next EMA
+        update does not immediately revert the row.
+
+        Returns (params, state, n_reseeded)."""
+        sizes = self._codebook_sizes()
+        n = len(sizes)
+        sub = self.hid // n
+        z = diag["z"]
+        active = step >= self.reseed_start
+        usage, n_dead = [], jnp.float32(0.0)
+        if self.ema:
+            vq = dict(state["vq"])
+            books = list(vq["codebooks"])
+            css = list(vq["cluster_size"])
+            ews = list(vq["ema_w"])
+        else:
+            books = (
+                list(params["vq"]["codebooks"]) if self.sliced
+                else [params["vq"]["codebook"]]
+            )
+        for i in range(n):
+            u = bn.update_usage(state["usage"][i], diag["counts"][i], self.reseed_decay)
+            z_slice = z[:, i * sub : (i + 1) * sub]
+            cb, u, dead = bn.reseed_slice(
+                jax.random.fold_in(rng, i), books[i], u, z_slice,
+                self.reseed_thresh, active,
+            )
+            if self.ema:
+                mean_cs = jnp.mean(css[i])
+                css[i] = jnp.where(dead, mean_cs, css[i])
+                ews[i] = jnp.where(dead[:, None], cb * mean_cs, ews[i])
+            books[i] = cb
+            usage.append(u)
+            n_dead = n_dead + jnp.sum(dead.astype(jnp.float32))
+        new_state = {**state, "usage": usage}
+        if self.ema:
+            new_state["vq"] = {"codebooks": books, "cluster_size": css, "ema_w": ews}
+            return params, new_state, n_dead
+        if self.sliced:
+            new_params = {**params, "vq": {"codebooks": books}}
+        else:
+            new_params = {**params, "vq": {"codebook": books[0]}}
+        return new_params, new_state, n_dead
 
 
 # ---------------------------------------------------------------------------

@@ -92,6 +92,10 @@ def build_model(cfg: Config):
             time_jitter_per_side=cfg.time_jitter_per_side,
             vq_drop=cfg.vq_drop,
             drop_dim=cfg.drop_dim,
+            reseed=cfg.vq_reseed,
+            reseed_thresh=cfg.vq_reseed_thresh,
+            reseed_decay=cfg.vq_reseed_decay,
+            reseed_start=cfg.vq_reseed_start,
         )
 
     if name in ("inae", "inae1"):

@@ -48,6 +48,34 @@ from wavenet_autoencoders_tpu.train.step import (
 )
 
 
+class CollapseAbort(SystemExit):
+    """Raised (exit code 3) when the bottleneck-collapse monitor trips —
+    a watchdog can distinguish this from a crash and stop relaunching."""
+
+    def __init__(self, msg: str):
+        super().__init__(3)
+        self.msg = msg
+
+
+def _host_int(x, tries: int = 4, wait: float = 5.0) -> int:
+    """Device→host scalar read with retries. A transient backend error
+    (e.g. a tunneled-TPU FAILED_PRECONDITION — the exact failure that
+    killed the round-3 quality run at this call site) should surface as a
+    diagnosed retry, not an instant crash."""
+    for attempt in range(tries):
+        try:
+            return int(x)
+        except Exception as e:  # jaxlib errors don't share a base class
+            if attempt == tries - 1:
+                raise
+            print(
+                f"device->host read failed ({type(e).__name__}: {e}); "
+                f"retry {attempt + 1}/{tries - 1} in {wait:.0f}s",
+                flush=True,
+            )
+            time.sleep(wait)
+
+
 def train(
     cfg: Config,
     dump_root: str,
@@ -84,7 +112,7 @@ def train(
     if resume:
         state = load_checkpoint(state, resume, reset_optimizer=reset_optimizer)
         if main:
-            print(f"resumed from {resume} at step {int(state.step)}")
+            print(f"resumed from {resume} at step {_host_int(state.step)}")
     elif restore_parts_from:
         state = state.__class__(
             params=restore_parts(state.params, restore_parts_from),
@@ -145,12 +173,13 @@ def train(
     # ``int(state.step)`` every iteration would force a device sync per
     # step (expensive through the tunneled-TPU transport) and serialize
     # the pipeline.
-    step = int(state.step)
+    step = _host_int(state.step)
     t0, last_log_step = time.time(), step
     samples_per_batch = None
     metrics = None
     profiling = False
     epoch_acc, epoch_n = None, 0
+    perp_ema = None  # collapse monitor: host-side perplexity EMA
     ckpt = AsyncCheckpointer()
     try:
         for batch in it:
@@ -178,12 +207,45 @@ def train(
                 if writer:
                     writer.scalars(step, "train_no_dev", m)
                 if main:
+                    reseed_s = (
+                        f" reseed {m['reseeded']:.0f}" if m.get("reseeded") else ""
+                    )
                     print(
                         f"step {step} loss {m['loss']:.4f} aux {m['aux_loss']:.4f} "
-                        f"perp {m['perplexity']:.1f} lr {m['lr']:.2e} {sps:,.0f} samp/s",
+                        f"perp {m['perplexity']:.1f}{reseed_s} lr {m['lr']:.2e} "
+                        f"{sps:,.0f} samp/s",
                         flush=True,
                     )
                 t0, last_log_step = time.time(), step
+
+                # collapse-abort monitor (anti-collapse lever #3): if the
+                # perplexity EMA is still on the floor past the configured
+                # step, save and abort with a distinct exit code instead of
+                # burning the rest of the schedule on a dead bottleneck
+                perp_ema = (
+                    m["perplexity"] if perp_ema is None
+                    else 0.9 * perp_ema + 0.1 * m["perplexity"]
+                )
+                if (
+                    cfg.collapse_check_step > 0
+                    and step >= cfg.collapse_check_step
+                    and perp_ema < cfg.collapse_min_perplexity
+                ):
+                    msg = (
+                        f"collapse_abort: perplexity EMA {perp_ema:.2f} < "
+                        f"{cfg.collapse_min_perplexity} at step {step} — "
+                        "bottleneck collapsed; aborting (exit 3)"
+                    )
+                    print(msg, flush=True)
+                    if main:
+                        ckpt.wait()
+                        save_checkpoint(
+                            state, ckpt_dir,
+                            save_optimizer_state=cfg.save_optimizer_state,
+                        )
+                    if writer:
+                        writer.close()
+                    raise CollapseAbort(msg)
 
             # per-epoch running averages (vqwae_train.py:853-872) — summed
             # ON DEVICE (3 async scalar adds); float()ing here would block
@@ -252,7 +314,7 @@ def train(
     except KeyboardInterrupt:
         print("interrupted — saving checkpoint before exit")
     if metrics is not None and writer:
-        writer.scalars(int(state.step), "train_no_dev", {k: float(v) for k, v in metrics.items()})
+        writer.scalars(_host_int(state.step), "train_no_dev", {k: float(v) for k, v in metrics.items()})
     ckpt.wait()
     if main:
         save_checkpoint(state, ckpt_dir, save_optimizer_state=cfg.save_optimizer_state)

@@ -130,8 +130,10 @@ def make_train_step(cfg: Config, model, tx=None, donate: bool = True):
     ema_decay = cfg.ema_decay
 
     feature_space = _is_feature_ae(model)
+    reseed = bool(getattr(model, "reseed", False))
+    warmup = int(cfg.vq_warmup_steps or 0)
 
-    def loss_fn(params, model_state, rng, batch):
+    def loss_fn(params, model_state, rng, batch, ramp):
         x = _prep_x(cfg, batch["x"])
         y_hat, aux, perp, new_model_state = model.forward(
             params,
@@ -149,14 +151,21 @@ def make_train_step(cfg: Config, model, tx=None, donate: bool = True):
         else:
             mask = sequence_mask(batch["lengths"], x.shape[1])[..., None]
             recon = _recon_loss(cfg, y_hat.astype(jnp.float32), batch["y"], mask)
-        loss = recon + aux
+        # commitment warm-up: ramp the VQ aux loss in so the encoder may
+        # move freely to an informative configuration before the codebook
+        # constraint bites (anti-collapse; aux is reported unscaled)
+        loss = recon + ramp * aux
         return loss, (recon, aux, perp, new_model_state)
 
     def step_fn(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
+        if warmup > 0:
+            ramp = jnp.clip(state.step.astype(jnp.float32) / warmup, 0.0, 1.0)
+        else:
+            ramp = jnp.float32(1.0)
         (loss, (recon, aux, perp, new_model_state)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params, state.model_state, rng, batch)
+        )(state.params, state.model_state, rng, batch, ramp)
 
         gnorm = optax.global_norm(grads)
         if cfg.clip_thresh and cfg.clip_thresh > 0:
@@ -168,6 +177,19 @@ def make_train_step(cfg: Config, model, tx=None, donate: bool = True):
         opt_state.hyperparams["lr"] = lr
         updates, new_opt_state = tx.update(grads, opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+
+        if reseed:
+            # dead-code revival AFTER the optimizer touched the codebook:
+            # forward stashed this batch's encoder outputs + assignment
+            # counts under "_vq_diag"; popping it keeps the returned state
+            # structure identical to the input's (jit donation contract)
+            diag = new_model_state.pop("_vq_diag")
+            new_params, new_model_state, n_reseeded = model.revive(
+                new_params, new_model_state, diag,
+                jax.random.fold_in(rng, 0x5EED), state.step,
+            )
+        else:
+            n_reseeded = jnp.float32(0.0)
 
         if state.ema_params is not None:
             # shadow -= (1 - decay) * (shadow - param)  (vqwae_train.py:347-350)
@@ -193,6 +215,7 @@ def make_train_step(cfg: Config, model, tx=None, donate: bool = True):
             "perplexity": perp,
             "grad_norm": gnorm,
             "lr": lr,
+            "reseeded": n_reseeded,
         }
         return new_state, metrics
 
