@@ -5,7 +5,11 @@ mu-law CE concentrates in stochastic regions (fricatives/aspiration),
 while harmonic (vowel) regions are far more predictable. Uses the test
 split, whose phone alignments the generator wrote.
 
-Usage: python scripts/ce_by_segment.py <ckpt_rel_to_quality> [n_utts]
+Usage: QR_ROOT=<corpus-root> python scripts/ce_by_segment.py \
+           <ckpt_rel_to_root> [n_utts]
+QR_ROOT defaults to /root/repo/quality; the config is read from the
+config.json next to the checkpoint (the frozen-config contract), so a
+checkpoint from any experiment evaluates under its own hparams.
 """
 import json
 import os
@@ -20,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 jax.config.update("jax_platforms", "cpu")
-os.chdir("/root/repo/quality")
+os.chdir(os.environ.get("QR_ROOT", "/root/repo/quality"))
 
 from wavenet_autoencoders_tpu.cli.main import _load_model
 from wavenet_autoencoders_tpu.config import Config
@@ -32,7 +36,7 @@ VOWELS = set("a e i o u ae ə ɔ".split())
 def main():
     ckpt = sys.argv[1]
     n_utts = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    cfg = Config.load("exp/svqwae/config.json")
+    cfg = Config.load(os.path.join(os.path.dirname(ckpt), "config.json"))
     model, params, state = _load_model(cfg, ckpt, use_ema=True)
     labels = json.load(open("raw/test_phone_labels.json"))
     man = Manifest.read("dump/2019/english/test")

@@ -80,17 +80,22 @@ DUR_RANGE = (0.07, 0.22)
 SMOOTH_W = 9
 
 
-def synth_utterance(rng: np.random.Generator, spk: dict, n_phones: int | None = None):
+def synth_utterance(rng: np.random.Generator, spk: dict, n_phones: int | None = None,
+                    dur_range=None, smooth_w=None):
     """Returns (waveform, segments) where segments is a list of
     (phone, start_sec, end_sec) — ground-truth alignments for ABX-style
     evaluation of learned representations. No rng draws depend on the
     bookkeeping, so corpora regenerate byte-identically per seed."""
+    dur_range = DUR_RANGE if dur_range is None else dur_range
+    smooth_w = SMOOTH_W if smooth_w is None else smooth_w
     if n_phones is None:
         # keep utterances ~1.5-3.2 s regardless of the phone-duration range
-        avg = 0.5 * (DUR_RANGE[0] + DUR_RANGE[1])
-        n_phones = int(rng.integers(max(int(1.5 / avg), 4), int(3.2 / avg)))
+        avg = 0.5 * (dur_range[0] + dur_range[1])
+        lo = max(int(1.5 / avg), 4)
+        hi = max(int(3.2 / avg), lo + 1)  # rng.integers needs high > low
+        n_phones = int(rng.integers(lo, hi))
     phones = [PHONES[i] for i in rng.integers(0, len(PHONES), n_phones)]
-    durs = rng.uniform(DUR_RANGE[0], DUR_RANGE[1], n_phones)
+    durs = rng.uniform(dur_range[0], dur_range[1], n_phones)
     # 10 ms control frames
     hop = SR // 100
     n_frames = int(np.ceil(durs.sum() * 100)) + 10
@@ -128,9 +133,9 @@ def synth_utterance(rng: np.random.Generator, spk: dict, n_phones: int | None = 
             return np.convolve(x, k, mode="same")
         return np.stack([np.convolve(x[:, j], k, mode="same") for j in range(x.shape[1])], 1)
 
-    f_formants = smooth(f_formants, SMOOTH_W)
-    f_amp = smooth(f_amp, SMOOTH_W)
-    f_voiced = smooth(f_voiced, SMOOTH_W)
+    f_formants = smooth(f_formants, smooth_w)
+    f_amp = smooth(f_amp, smooth_w)
+    f_voiced = smooth(f_voiced, smooth_w)
 
     # F0 track: declination + slow wander + jitter
     f0 = spk["f0"] * (1.0 - 0.18 * np.linspace(0, 1, n_frames))
@@ -190,11 +195,14 @@ def write_wav(path: Path, y: np.ndarray):
 
 
 def _render_one(job):
-    """(path, spk_profile, seed_tuple, want_segs) -> segments or None.
-    Per-utterance rng: order- and count-independent regeneration."""
-    path, spk, seed_tuple, want_segs = job
+    """(path, spk_profile, seed_tuple, want_segs, dur_range, smooth_w) ->
+    segments or None. Per-utterance rng: order- and count-independent
+    regeneration. dur_range/smooth_w travel in the job tuple so workers see
+    the CLI values under any multiprocessing start method (spawn included),
+    not just fork-inherited globals."""
+    path, spk, seed_tuple, want_segs, dur_range, smooth_w = job
     rng = np.random.default_rng(seed_tuple)
-    y, segs = synth_utterance(rng, spk)
+    y, segs = synth_utterance(rng, spk, dur_range=dur_range, smooth_w=smooth_w)
     write_wav(path, y)
     return segs if want_segs else None
 
@@ -214,8 +222,8 @@ def main():
     ap.add_argument("--smooth-w", type=int, default=SMOOTH_W)
     args = ap.parse_args()
 
-    DUR_RANGE = (args.dur_min, args.dur_max)
-    SMOOTH_W = args.smooth_w  # fork-based Pool inherits these globals
+    DUR_RANGE = dr = (args.dur_min, args.dur_max)
+    SMOOTH_W = sw = args.smooth_w
 
     root = Path(args.out_root) / "english"
     # speaker profiles from dedicated streams — stable under any counts
@@ -236,18 +244,18 @@ def main():
     for i in range(args.n_unit):
         spk = f"S{i % args.n_spk:03d}"
         jobs.append((root / "train/unit" / f"{spk}_{10000 + i}.wav",
-                     unit_speakers[spk], (args.seed, 10, i), False))
+                     unit_speakers[spk], (args.seed, 10, i), False, dr, sw))
     for i in range(args.n_voice):
         spk = f"V00{i % 2 + 1}"
         jobs.append((root / "train/voice" / f"{spk}_{20000 + i}.wav",
-                     voice_speakers[spk], (args.seed, 20, i), False))
+                     voice_speakers[spk], (args.seed, 20, i), False, dr, sw))
     test_names, syn_lines = [], []
     for i in range(args.n_test):
         spk = f"S09{i % 2}"
         name = f"{spk}_{30000 + i}"
         test_names.append(name)
         jobs.append((root / "test" / f"{name}.wav",
-                     test_speakers[spk], (args.seed, 30, i), True))
+                     test_speakers[spk], (args.seed, 30, i), True, dr, sw))
         syn_lines.append(f"{name} V00{i % 2 + 1}")
 
     import json

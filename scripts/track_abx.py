@@ -34,4 +34,10 @@ r2 = subprocess.run(
      f"{qroot}/raw/test_phone_labels.json",
      f"{qroot}/dump/2019/english/test"],
     capture_output=True, text=True)
-print(r2.stdout.splitlines()[0] if r2.stdout else r2.stderr[-500:])
+# print the full scorer summary (latents line, MFCC-baseline line, JSON)
+print(r2.stdout, end="")
+if r2.returncode != 0:
+    # a failed scorer must fail the trajectory point, not silently record a
+    # missing sample
+    print(r2.stderr[-2000:], file=sys.stderr)
+    sys.exit(r2.returncode)

@@ -218,3 +218,22 @@ def test_04c_train_with_reseed(pipeline):
     logs = (ckpt / "logs/metrics.jsonl").read_text().splitlines()
     rec = json.loads(logs[-1])
     assert "reseeded" in rec and np.isfinite(rec["loss"])
+
+
+def test_04d_new_inae_preset_smoke(pipeline):
+    """Bundled new_inae preset trains end-to-end (speaker encoder supplies
+    the 64-d continuous global code; inference_2019.py:303-312 enumerates
+    the model)."""
+    dump = pipeline["dump"] / "english/train_no_dev"
+    ckpt = pipeline["root"] / "ckpt_new_inae"
+    cli([
+        "train", "--preset", "new_inae", "--hparams",
+        "layers=4,stacks=2,residual_channels=8,gate_channels=12,"
+        "skip_out_channels=8,encoder_hid=16,cin_channels=8,n_speakers=8,"
+        "batch_size=2,dev_batch_size=1,max_time_steps=1280,"
+        "checkpoint_interval=4,compute_dtype=float32",
+        str(dump), str(ckpt), "--max-steps", "2",
+    ])
+    assert (ckpt / "checkpoint_latest.npz").exists()
+    cfgj = json.load(open(ckpt / "config.json"))
+    assert cfgj["name"] == "new_inae"

@@ -124,3 +124,27 @@ def test_validate_submission(tmp_path):
     # CLI wiring
     from wavenet_autoencoders_tpu.cli.main import main as cli
     cli(["validate", str(tmp_path)])
+
+
+def test_eval_model_writes_wavs_and_waveplot(tmp_path):
+    """eval_model parity with vqwae_train.py:572-640: predicted/target wavs
+    AND the waveplots PNG (matplotlib is available in this environment)."""
+    import jax
+    import numpy as np
+
+    from wavenet_autoencoders_tpu.models import build_model
+    from wavenet_autoencoders_tpu.train.eval_hooks import eval_model
+    from wavenet_autoencoders_tpu.train.step import init_state
+    from test_train import tiny_batch, tiny_cfg
+
+    cfg = tiny_cfg()
+    model = build_model(cfg)
+    state = init_state(cfg, model, jax.random.PRNGKey(0))
+    batch = tiny_batch(cfg)
+    eval_model(
+        cfg, model, state.params, state.model_state, 7, batch, tmp_path
+    )
+    names = sorted(p.name for p in tmp_path.iterdir())
+    assert "step000000007_predicted.wav" in names
+    assert "step000000007_target.wav" in names
+    assert "step000000007_waveplots.png" in names

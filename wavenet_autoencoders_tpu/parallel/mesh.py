@@ -69,6 +69,13 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
 # Tensor-parallel rules, matched against the '/'-joined tree path of each
 # leaf. Gate conv: (K, Cin, Cgate) -> shard Cgate; its bias and g too.
 # Out/skip 1x1: (1, Cgate/2, Cout) -> shard the contracting dim.
+#
+# Beyond the GLU stack (the round-3 rules), the heads and the encoder are
+# covered too: post1 column-parallel + post2 row-parallel form a Megatron
+# pair around the ReLU (one psum at the logits); the encoder's wide
+# (hid=768) conv chain is column-parallel per block with the final latent
+# projection row-parallel — XLA's SPMD partitioner inserts the boundary
+# collectives. Embeddings/upsample stay replicated (tiny).
 _TP_RULES = [
     (re.compile(r"layers/\d+/conv/v$"), P(None, None, "model")),
     (re.compile(r"layers/\d+/conv/g$"), P("model")),
@@ -76,6 +83,13 @@ _TP_RULES = [
     (re.compile(r"layers/\d+/[cg]proj/v$"), P(None, None, "model")),
     (re.compile(r"layers/\d+/[cg]proj/g$"), P("model")),
     (re.compile(r"layers/\d+/(out|skip)/v$"), P(None, "model", None)),
+    (re.compile(r"wavenet/post1/v$"), P(None, None, "model")),
+    (re.compile(r"wavenet/post1/g$"), P("model")),
+    (re.compile(r"wavenet/post1/b$"), P("model")),
+    (re.compile(r"wavenet/post2/v$"), P(None, "model", None)),
+    (re.compile(r"encoder/blocks/\d+/w$"), P(None, None, "model")),
+    (re.compile(r"encoder/blocks/\d+/b$"), P("model")),
+    (re.compile(r"encoder/lin/w$"), P("model", None)),
 ]
 
 
