@@ -11,7 +11,7 @@
 #      QF_UTTS / QF_FRAMES (reconstruction sample sizes).
 set -ex
 cd /root/repo
-Q=/root/repo/quality
+Q=${QF_ROOT:-/root/repo/quality}
 EXPNAME=${QF_EXP:-exp/svqwae_jitter}
 EXP=$Q/$EXPNAME
 UTTS=${QF_UTTS:-6}
@@ -19,14 +19,14 @@ FRAMES=${QF_FRAMES:-400}
 
 timeout 2400 python scripts/quality_eval.py $EXP $Q $UTTS $FRAMES 2>&1 | tail -40
 
-timeout 1200 python scripts/run_quality_infer.py $EXPNAME/checkpoint_latest_ema.npz abx_final 2>&1 | tail -4
+timeout 1200 env QI_ROOT=$Q python scripts/run_quality_infer.py $EXPNAME/checkpoint_latest_ema.npz abx_final 2>&1 | tail -4
 timeout 900 python scripts/abx_proxy.py $Q/abx_final/2019/english/test $Q/raw/test_phone_labels.json $Q/dump/2019/english/test 2>&1 | tail -4
 
 cd $Q
 timeout 2400 python - <<EOF
 import os, sys
 sys.path.insert(0, "/root/repo")
-os.chdir("/root/repo/quality")
+os.chdir("$Q")
 from wavenet_autoencoders_tpu.cli.main import main
 main([
     "synthesize", "--preset", "$EXPNAME/config.json",

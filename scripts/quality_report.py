@@ -20,7 +20,8 @@ import subprocess
 import sys
 from pathlib import Path
 
-Q = Path("/root/repo/quality")
+import os
+Q = Path(os.environ.get("QR_ROOT", "/root/repo/quality"))
 EXP = Q / (sys.argv[1] if len(sys.argv) > 1 else "exp/svqwae_rf")
 ABX_PREFIX = sys.argv[2] if len(sys.argv) > 2 else "abxC"
 
