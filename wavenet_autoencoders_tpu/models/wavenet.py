@@ -73,6 +73,7 @@ class WaveNet:
     # TPU fast path: per-layer fused Pallas GLU (kernels/glu_train.py) with
     # explicit VJP; requires dropout == 0 and kernel_size == 3
     fused_glu: bool = False
+    fused_stack: bool = False  # whole-stack Pallas fwd+bwd (kernels/glu_stack.py)
 
     # ---- derived ----
     @property
@@ -226,7 +227,43 @@ class WaveNet:
             h = jnp.take(w1, x, axis=0) + params["first"]["b"]
         else:
             h = conv1d_apply(params["first"], x, dtype=dtype)
-        if self.fused_glu and self.kernel_size == 3 and self.dropout == 0.0:
+        if self.fused_stack and self.kernel_size == 3 and self.dropout == 0.0:
+            # ONE Pallas kernel for all layers, h VMEM-resident; backward
+            # reconstructs activations from the saved pre-activations
+            # (kernels/glu_stack.py)
+            from wavenet_autoencoders_tpu.kernels.glu_stack import fused_glu_stack
+            from wavenet_autoencoders_tpu.ops.conv import conv1d_weight
+
+            interp = jax.devices()[0].platform == "cpu"
+            if dtype is not None:
+                h = h.astype(dtype)
+                c = None if c is None else c.astype(dtype)
+            lps = params["layers"]
+            wconv = jnp.stack([conv1d_weight(lp["conv"], dtype) for lp in lps])
+            bconv = jnp.stack([lp["conv"]["b"] for lp in lps])
+            wc = (
+                jnp.stack([conv1d_weight(lp["cproj"], dtype)[0] for lp in lps])
+                if c is not None else None
+            )
+            wout = jnp.stack([conv1d_weight(lp["out"], dtype)[0] for lp in lps])
+            bout = jnp.stack([lp["out"]["b"] for lp in lps])
+            wskip = jnp.stack([conv1d_weight(lp["skip"], dtype)[0] for lp in lps])
+            bskip = jnp.stack([lp["skip"]["b"] for lp in lps])
+            g_adds = None
+            if g_feat is not None and "gproj" in lps[0]:
+                g_adds = jnp.stack(
+                    [
+                        jnp.einsum("bj,jg->bg", g_feat, conv1d_weight(lp["gproj"], dtype)[0])
+                        for lp in lps
+                    ],
+                    axis=1,
+                )  # (B, L, G)
+            dils = tuple(self.dilation(i) for i in range(self.layers))
+            skips = fused_glu_stack(
+                h, c, g_adds, wconv, bconv, wc, wout, bout, wskip, bskip,
+                dils, interp,
+            ).astype(jnp.float32)
+        elif self.fused_glu and self.kernel_size == 3 and self.dropout == 0.0:
             from wavenet_autoencoders_tpu.kernels.glu_train import fused_glu_layer
             from wavenet_autoencoders_tpu.ops.conv import conv1d_weight
 
