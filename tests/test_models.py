@@ -148,3 +148,24 @@ def test_vqwae_decode_tiny():
     y = model.decode(params, jax.random.PRNGKey(1), c, g=g[:1], T=T, state=state)
     assert y.shape == (1, T, cfg.out_channels)
     np.testing.assert_allclose(np.asarray(y).sum(-1), 1.0, atol=1e-5)
+
+
+def test_vqwae_pre_vq_encode_is_continuous():
+    """encode(pre_vq=True) returns the pre-quantization code: not equal to
+    the quantized export, and instance-normed when ins_norm is on."""
+    import jax
+    import numpy as np
+    from test_train import tiny_cfg
+    from wavenet_autoencoders_tpu.models import build_model
+
+    cfg = tiny_cfg(sliced=True, ins_norm=True)
+    model = build_model(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    c = jax.random.normal(jax.random.PRNGKey(1), (2, 16, cfg.dim_in))
+    q = np.asarray(model.encode(params, state, c))
+    z = np.asarray(model.encode(params, state, c, pre_vq=True))
+    assert q.shape == z.shape
+    assert not np.allclose(q, z)
+    # per-utterance channel stats ~ (0, 1) after instance norm
+    assert np.abs(z.mean(axis=1)).max() < 1e-4
+    np.testing.assert_allclose(z.std(axis=1), 1.0, atol=5e-2)

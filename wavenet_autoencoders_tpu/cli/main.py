@@ -89,6 +89,9 @@ def main(argv=None):
                    help="load the *_ema checkpoint sibling (reference eval "
                         "behavior); --no-use-ema evaluates the raw weights")
     p.add_argument("--lan", default=None, help="submission language dir (else inferred from dump paths)")
+    p.add_argument("--pre-vq", action="store_true",
+                   help="export the continuous pre-quantization latent "
+                        "(VQ models only; diagnostic, skips bitrate.json)")
 
     p = sub.add_parser("synthesize", help="voice-conversion synthesis")
     _add_cfg_args(p)
@@ -176,7 +179,8 @@ def main(argv=None):
         from wavenet_autoencoders_tpu.eval.infer import export_representations
 
         export_representations(
-            cfg, model, params, state, args.scp, args.dst_dir, feat=args.feat, lan=args.lan
+            cfg, model, params, state, args.scp, args.dst_dir, feat=args.feat,
+            lan=args.lan, pre_vq=args.pre_vq,
         )
 
     elif args.cmd == "synthesize":

@@ -86,12 +86,23 @@ def export_representations(
     pad_multiple: int | None = None,
     lan: str | None = None,
     compute_bitrate: bool = True,
+    pre_vq: bool = False,
 ):
     """Encode every utterance in the scp json and write ABX txt files,
     plus a ``bitrate.json`` health metric for the quantizer (the challenge
     scores ABX *and* bitrate)."""
     file_list = json.load(open(scp_path))
     ds = 100 // cfg.frame_rate if pad_multiple is None else pad_multiple
+
+    if pre_vq:
+        import inspect
+
+        if "pre_vq" not in inspect.signature(model.encode).parameters:
+            raise ValueError(
+                f"{type(model).__name__} has no pre-quantization latent "
+                "(--pre-vq applies to VQ models only)"
+            )
+        compute_bitrate = False  # continuous export: symbol entropy undefined
 
     if compute_bitrate and not _has_discrete_codes(model):
         # Symbol-entropy bitrate is only meaningful for quantized latents
@@ -122,9 +133,11 @@ def export_representations(
     for it in items:
         buckets[it[3]].append(it)
 
+    enc_kw = {"pre_vq": True} if pre_vq else {}
+
     @jax.jit
     def encode(c):
-        return model.encode(params, state, c)
+        return model.encode(params, state, c, **enc_kw)
 
     n = 0
     exported: list[np.ndarray] = []

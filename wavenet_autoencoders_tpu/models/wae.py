@@ -195,10 +195,13 @@ class VQWAE(WAEBase):
             q = conv1d_apply(params["post"], q, padding=[(1, 1)], dtype=dtype)
         return q
 
-    def encode(self, params, state, c, tar_c=None, dtype=None):
+    def encode(self, params, state, c, tar_c=None, dtype=None, pre_vq=False):
         """Quantized latent (B, T', hid) — the ABX representation
         (``vqvae_model.py:80-84``). With adain and a target utterance,
-        re-styles the pre-VQ code first."""
+        re-styles the pre-VQ code first. ``pre_vq=True`` returns the
+        continuous pre-quantization code (post instance-norm) — a
+        diagnostic export with no reference counterpart (the challenge
+        scored the quantized code)."""
         enc = self.make_encoder()
         z = enc.apply(params["encoder"], c, dtype=dtype)
         if tar_c is not None and self.adain:
@@ -206,6 +209,8 @@ class VQWAE(WAEBase):
             z = bn.adain(z, zs)
         elif self.ins_norm:
             z = bn.instance_norm(z)
+        if pre_vq:
+            return z
         q, _loss, _perp, _idx, _state = self._quantize(params, state, z, train=False)
         return q
 
