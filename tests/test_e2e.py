@@ -237,3 +237,51 @@ def test_04d_new_inae_preset_smoke(pipeline):
     assert (ckpt / "checkpoint_latest.npz").exists()
     cfgj = json.load(open(ckpt / "config.json"))
     assert cfgj["name"] == "new_inae"
+
+
+def test_04e_sigterm_graceful_checkpoint(pipeline):
+    """SIGTERM to a running trainer must save a checkpoint and exit 0 —
+    the preemption-safe stop contract (SIGINT is ignored in background
+    children of POSIX shells, so TERM is the watchdog's stop signal)."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    dump = pipeline["dump"] / "english/train_no_dev"
+    ckpt = pipeline["root"] / "ckpt_sigterm"
+    code = (
+        "import sys; sys.path.insert(0, %r); "
+        "from wavenet_autoencoders_tpu.cli.main import main; "
+        "main(['train', '--preset', 'svqwae', '--hparams', %r, %r, %r,"
+        " '--max-steps', '100000'])"
+        % (
+            str(Path(__file__).resolve().parents[1]),
+            OVERRIDES + ",checkpoint_interval=1000000",
+            str(dump), str(ckpt),
+        )
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code], env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    # wait for a completed step (metrics line written; the writer is
+    # line-buffered) — the TERM handler registers before the step loop
+    deadline = time.time() + 240
+    started = False
+    mpath = ckpt / "logs/metrics.jsonl"
+    while time.time() < deadline:
+        if mpath.exists() and mpath.stat().st_size > 0:
+            started = True
+            break
+        if proc.poll() is not None:
+            break
+        time.sleep(2)
+    assert started, proc.stdout.read()[-2000:] if proc.poll() is not None else "no metrics yet"
+    proc.send_signal(signal.SIGTERM)
+    out, _ = proc.communicate(timeout=120)
+    assert proc.returncode == 0, out[-2000:]
+    assert "saving checkpoint before exit" in out
+    assert (ckpt / "checkpoint_latest.npz").exists()

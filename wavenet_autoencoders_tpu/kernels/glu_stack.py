@@ -60,7 +60,11 @@ def _gate_from_ab(ab32, G2):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(dils, G2, PAD, has_c, has_g, store, acc):
+def _round_up(n, m):
+    return ((n + m - 1) // m) * m
+
+
+def _fwd_kernel(dils, G2, PAD, has_c, has_g, store, acc, Gp):
     L = len(dils)
 
     def kernel(*refs):
@@ -109,6 +113,15 @@ def _fwd_kernel(dils, G2, PAD, has_c, has_g, store, acc):
             if has_g:
                 ab = ab + gadd_ref[0, l : l + 1, :].astype(acc)
             ab_s = ab.astype(store)
+            G = ab_s.shape[1]
+            if Gp > G:
+                # lane-align the staged copy: Mosaic requires DMA slice
+                # shapes aligned to the 128-lane tiling
+                ab_dma = jnp.concatenate(
+                    [ab_s, jnp.zeros((ab_s.shape[0], Gp - G), store)], axis=1
+                )
+            else:
+                ab_dma = ab_s
             # stream ab out (double-buffered): wait the copy issued 2 layers
             # ago before reusing its staging slot
             par = l % 2
@@ -116,7 +129,7 @@ def _fwd_kernel(dils, G2, PAD, has_c, has_g, store, acc):
                 pltpu.make_async_copy(
                     ab_stage.at[par], ab_hbm.at[b, l - 2], ab_sem.at[par]
                 ).wait()
-            ab_stage[par] = ab_s
+            ab_stage[par] = ab_dma
             pltpu.make_async_copy(
                 ab_stage.at[par], ab_hbm.at[b, l], ab_sem.at[par]
             ).start()
@@ -152,6 +165,7 @@ def _fwd_pallas(x, c, g_add, wconv, bconv, wc, wout, bout, wskip, bskip,
     has_c = c is not None
     has_g = g_add is not None
     PAD = 2 * max(dilations)
+    Gp = _round_up(G, 128)
 
     def row(shape):
         nd = len(shape)
@@ -181,7 +195,7 @@ def _fwd_pallas(x, c, g_add, wconv, bconv, wc, wout, bout, wskip, bskip,
                wskip.astype(store), bskip.astype(acc)]
 
     skips, hfin, ab = pl.pallas_call(
-        _fwd_kernel(tuple(dilations), G2, PAD, has_c, has_g, store, acc),
+        _fwd_kernel(tuple(dilations), G2, PAD, has_c, has_g, store, acc, Gp),
         grid=(B,),
         in_specs=in_specs,
         out_specs=(
@@ -192,11 +206,11 @@ def _fwd_pallas(x, c, g_add, wconv, bconv, wc, wout, bout, wskip, bskip,
         out_shape=(
             jax.ShapeDtypeStruct((B, T, S), store),
             jax.ShapeDtypeStruct((B, T, C), store),
-            jax.ShapeDtypeStruct((B, L, T, G), store),
+            jax.ShapeDtypeStruct((B, L, T, Gp), store),
         ),
         scratch_shapes=[
             pltpu.VMEM((PAD + T, C), jnp.float32),
-            pltpu.VMEM((2, T, G), store),
+            pltpu.VMEM((2, T, Gp), store),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
@@ -210,7 +224,7 @@ def _fwd_pallas(x, c, g_add, wconv, bconv, wc, wout, bout, wskip, bskip,
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(dils, G2, PAD, has_c, has_g, store, acc):
+def _bwd_kernel(dils, G2, PAD, has_c, has_g, store, acc, G):
     L = len(dils)
 
     def kernel(*refs):
@@ -244,7 +258,6 @@ def _bwd_kernel(dils, G2, PAD, has_c, has_g, store, acc):
         b = pl.program_id(0)
         T = dx_ref.shape[1]
         C = dx_ref.shape[2]
-        G = dabpad.shape[1]
         S = dskip_ref.shape[2]
 
         @pl.when(b == 0)
@@ -277,7 +290,7 @@ def _bwd_kernel(dils, G2, PAD, has_c, has_g, store, acc):
             par = l % 2
             pltpu.make_async_copy(ab_hbm.at[b, l], ab_stage.at[par],
                                   ab_sem.at[par]).wait()
-            ab_s = ab_stage[par]
+            ab_s = ab_stage[par][:, :G]
             if l >= 1:  # prefetch next (shallower) layer into the other slot
                 pltpu.make_async_copy(ab_hbm.at[b, l - 1], ab_stage.at[1 - par],
                                       ab_sem.at[1 - par]).start()
@@ -397,7 +410,7 @@ def _bwd_pallas(dskips, hfin, c, ab, wconv, wc, wout, bout, wskip,
                   jax.ShapeDtypeStruct((L, S), acc)]
 
     outs = pl.pallas_call(
-        _bwd_kernel(tuple(dilations), G2, PAD, has_c, has_g, store, acc),
+        _bwd_kernel(tuple(dilations), G2, PAD, has_c, has_g, store, acc, G),
         grid=(B,),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
@@ -406,7 +419,7 @@ def _bwd_pallas(dskips, hfin, c, ab, wconv, wc, wout, bout, wskip,
             pltpu.VMEM((PAD + T, C), jnp.float32),
             pltpu.VMEM((T + PAD, C), jnp.float32),
             pltpu.VMEM((T + PAD, G), jnp.float32),
-            pltpu.VMEM((2, T, G), store),
+            pltpu.VMEM((2, T, _round_up(G, 128)), store),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),

@@ -181,6 +181,22 @@ def train(
     epoch_acc, epoch_n = None, 0
     perp_ema = None  # collapse monitor: host-side perplexity EMA
     ckpt = AsyncCheckpointer()
+    # Graceful-stop contract: SIGTERM == "checkpoint and exit cleanly".
+    # SIGINT alone is not enough — POSIX shells launch background children
+    # with SIGINT *ignored*, so a watchdog-supervised trainer could never
+    # be interrupt-saved (discovered the hard way in the round-4 quality
+    # run). Registration is best-effort (main thread only).
+    import signal as _signal
+
+    _old_term = None
+
+    def _on_sigterm(signum, frame):
+        raise KeyboardInterrupt
+
+    try:
+        _old_term = _signal.signal(_signal.SIGTERM, _on_sigterm)
+    except ValueError:
+        pass
     try:
         for batch in it:
             if step >= limit:
@@ -312,7 +328,10 @@ def train(
                         print(f"stopping: reached nepochs={cfg.nepochs}")
                     break
     except KeyboardInterrupt:
-        print("interrupted — saving checkpoint before exit")
+        print("interrupted — saving checkpoint before exit", flush=True)
+    finally:
+        if _old_term is not None:
+            _signal.signal(_signal.SIGTERM, _old_term)
     if metrics is not None and writer:
         writer.scalars(_host_int(state.step), "train_no_dev", {k: float(v) for k, v in metrics.items()})
     ckpt.wait()
