@@ -70,6 +70,21 @@ def main():
 
     out.append("### 3.3 Representation discriminability (ABX proxy) & bitrate\n")
     rows = []
+    base = None
+    # in-training trajectory (scripts/track_abx.py snapshots, committed JSON)
+    traj_p = Q / "abx_trajectory_r4.json"
+    if traj_p.exists():
+        traj = _j(traj_p)
+        base = traj.get("mfcc_baseline")
+        for run, pts in traj.get("runs", {}).items():
+            for pt in pts:
+                a = pt["abx"]
+                tag = f"{run} @ step {pt['step']}" + (" (pre-VQ)" if pt.get("pre_vq") else "")
+                rows.append(
+                    f"| {tag} | {a['abx_across_speaker_err_pct']:.1f} | "
+                    f"{a['abx_within_speaker_err_pct']:.1f} | "
+                    f"{a.get('abx_dtw_across_speaker_err_pct', float('nan')):.1f} |"
+                )
     for tag, d in _abx_dirs():
         p = d / "2019/english/abx_proxy.json"
         if p.exists():
@@ -79,7 +94,6 @@ def main():
                 f"{a['abx_within_speaker_err_pct']:.1f} | "
                 f"{a.get('abx_dtw_across_speaker_err_pct', float('nan')):.1f} |"
             )
-    base = None
     for tag, d in reversed(_abx_dirs()):
         p = d / "2019/english/abx_proxy.json"
         if p.exists():
@@ -96,6 +110,15 @@ def main():
             f"{base.get('abx_dtw_across_speaker_err_pct', float('nan')):.1f} |"
         )
     out.append("")
+    if traj_p.exists():
+        for run, pts in _j(traj_p).get("runs", {}).items():
+            with_b = [p for p in pts if "bitrate" in p]
+            if with_b:
+                b = with_b[-1]["bitrate"]
+                out.append(
+                    f"- bitrate {run} @ step {with_b[-1]['step']}: **{b['bitrate']:.1f} bits/s** "
+                    f"({b['n_distinct']} distinct symbols over {b['n_frames']} frames)"
+                )
     for tag, d in _abx_dirs():
         p = d / "bitrate.json"
         if p.exists():
