@@ -11,7 +11,9 @@ note() { echo "prober[$(date +%H:%M:%S)]: $*" >> "$LOG"; }
 
 note "waiting for TPU to answer (max ${MAX}s)"
 while true; do
-  if timeout 60 python - >/dev/null 2>&1 <<'EOF'
+  # -k: follow the TERM with a KILL — a probe wedged in a stalled device
+  # call can ignore SIGTERM indefinitely, defeating the bounded wait
+  if timeout -k 10 60 python - >/dev/null 2>&1 <<'EOF'
 import jax, jax.numpy as jnp
 x = jnp.ones((128, 128)); float((x @ x).sum())
 EOF

@@ -134,8 +134,12 @@ def main():
     qroot = qroot.resolve()
     os.chdir(qroot)  # manifests carry quality-root-relative prefixes
     cfg = Config.load(exp_dir / "config.json")
+    # "auto": EMA shadow only once warm (step >= 5/(1-decay)); a young
+    # shadow is mostly random init (the round-4 stale-EMA eval bug).
+    ckpt = os.environ.get("QE_CKPT", "checkpoint_latest.npz")
     model, params, state = _load_model(
-        cfg, str(exp_dir / "checkpoint_latest.npz"), use_ema=True
+        cfg, str(exp_dir / ckpt),
+        use_ema={"auto": "auto", "1": True, "0": False}[os.environ.get("QE_EMA", "auto")],
     )
 
     out = {"exp": str(exp_dir)}

@@ -70,15 +70,24 @@ def main():
 
     out.append("### 3.3 Representation discriminability (ABX proxy) & bitrate\n")
     rows = []
-    base = None
-    # in-training trajectory (scripts/track_abx.py snapshots, committed JSON)
-    traj_p = Q / "abx_trajectory_r4.json"
+    base, base_src = None, None
+    # in-training trajectory (scripts/track_abx.py snapshots, committed
+    # JSON); filename is an argument — round-specific names like
+    # abx_trajectory_r4.json would otherwise silently drop this section
+    traj_name = sys.argv[3] if len(sys.argv) > 3 else None
+    traj_p = (
+        Q / traj_name if traj_name
+        else next(iter(sorted(Q.glob("abx_trajectory_*.json"), reverse=True)), Q / "absent")
+    )
     if traj_p.exists():
         traj = _j(traj_p)
-        base = traj.get("mfcc_baseline")
+        if traj.get("mfcc_baseline"):
+            base, base_src = traj["mfcc_baseline"], traj_p.name
         for run, pts in traj.get("runs", {}).items():
             for pt in pts:
-                a = pt["abx"]
+                a = pt.get("abx")
+                if a is None:  # bitrate-only points are legal in the schema
+                    continue
                 tag = f"{run} @ step {pt['step']}" + (" (pre-VQ)" if pt.get("pre_vq") else "")
                 rows.append(
                     f"| {tag} | {a['abx_across_speaker_err_pct']:.1f} | "
@@ -94,24 +103,27 @@ def main():
                 f"{a['abx_within_speaker_err_pct']:.1f} | "
                 f"{a.get('abx_dtw_across_speaker_err_pct', float('nan')):.1f} |"
             )
-    for tag, d in reversed(_abx_dirs()):
-        p = d / "2019/english/abx_proxy.json"
-        if p.exists():
-            base = _j(p)["mfcc_baseline"]
-            break
+    if base is None:
+        # fall back to an abx export dir's baseline only when the
+        # trajectory file lacks one (its sampling may differ)
+        for tag, d in reversed(_abx_dirs()):
+            p = d / "2019/english/abx_proxy.json"
+            if p.exists():
+                base, base_src = _j(p)["mfcc_baseline"], f"{d.name} export"
+                break
     out.append(
         "| representation | across-spk ABX err % | within-spk ABX err % | DTW across-spk % |\n|---|---|---|---|"
     )
     out.extend(rows)
     if base:
         out.append(
-            f"| MFCC-39 baseline (challenge input feats) | "
+            f"| MFCC-39 baseline (challenge input feats; from {base_src}) | "
             f"{base['abx_across_speaker_err_pct']:.1f} | {base['abx_within_speaker_err_pct']:.1f} | "
             f"{base.get('abx_dtw_across_speaker_err_pct', float('nan')):.1f} |"
         )
     out.append("")
     if traj_p.exists():
-        for run, pts in _j(traj_p).get("runs", {}).items():
+        for run, pts in traj.get("runs", {}).items():
             with_b = [p for p in pts if "bitrate" in p]
             if with_b:
                 b = with_b[-1]["bitrate"]

@@ -85,7 +85,7 @@ def main(argv=None):
     p.add_argument("scp")
     p.add_argument("dst_dir")
     p.add_argument("--feat", default="mfcc.norm")
-    p.add_argument("--use-ema", action=argparse.BooleanOptionalAction, default=True,
+    p.add_argument("--use-ema", action=argparse.BooleanOptionalAction, default="auto",
                    help="load the *_ema checkpoint sibling (reference eval "
                         "behavior); --no-use-ema evaluates the raw weights")
     p.add_argument("--lan", default=None, help="submission language dir (else inferred from dump paths)")
@@ -105,7 +105,7 @@ def main(argv=None):
     p.add_argument("--tar-utt-map", default=None, help="json: speaker -> mfcc.norm.npy for AdaIN (default: auto from train dump)")
     p.add_argument("--train-dump-root", default=None, help="train_no_dev dump dir for auto tar_c selection")
     p.add_argument("--batch", type=int, default=1, help="utterances decoded in parallel")
-    p.add_argument("--use-ema", action=argparse.BooleanOptionalAction, default=True,
+    p.add_argument("--use-ema", action=argparse.BooleanOptionalAction, default="auto",
                    help="load the *_ema checkpoint sibling; --no-use-ema uses raw weights")
 
     p = sub.add_parser(
@@ -206,10 +206,14 @@ def main(argv=None):
         )
 
 
-def _load_model(cfg: Config, checkpoint: str, use_ema: bool = True):
-    """Build the model from cfg and load weights from an npz checkpoint
-    (prefers the *_ema sibling like the reference's EMA eval,
-    ``inference_2019.py:313-318``)."""
+def _load_model(cfg: Config, checkpoint: str, use_ema: bool | str = "auto"):
+    """Build the model from cfg and load weights from an npz checkpoint.
+
+    ``use_ema=True`` prefers the *_ema sibling like the reference's EMA
+    eval (``inference_2019.py:313-318``). ``"auto"`` (default) only does so
+    once the shadow has warmed (checkpoint step >= 5/(1-ema_decay)) — a
+    young 0.9999 shadow is mostly random init and silently poisons every
+    downstream metric (the round-4 stale-EMA bug)."""
     import jax
 
     from wavenet_autoencoders_tpu.models.zoo import build_model
@@ -220,6 +224,19 @@ def _load_model(cfg: Config, checkpoint: str, use_ema: bool = True):
     model = build_model(cfg)
     params, state = model.init(jax.random.PRNGKey(cfg.seed))
     path = checkpoint
+    if use_ema == "auto":
+        try:
+            step = int(np.load(checkpoint)["step"])
+        except (KeyError, FileNotFoundError):
+            step = 0
+        from wavenet_autoencoders_tpu.train.step import ema_warm_steps
+
+        use_ema = step >= ema_warm_steps(cfg.ema_decay)
+        if not use_ema:
+            print(
+                f"ema shadow not warm at step {step} "
+                f"(< {ema_warm_steps(cfg.ema_decay)}); evaluating live params"
+            )
     if use_ema:
         ema_path = str(checkpoint).replace(".npz", "_ema.npz")
         if Path(ema_path).exists() and not str(checkpoint).endswith("_ema.npz"):

@@ -197,6 +197,11 @@ class Config:
     # `time_jitter_prob`, direction uniform. (The upstream model is
     # gitignored, so the reference reading is unrecoverable.)
     time_jitter_per_side: bool = True
+    # delay jitter until this step (0 = reference behavior, always on):
+    # round-4 run E showed jitter active during the commitment warm-up
+    # re-collapses the codebook; gating it past the warm-up keeps the
+    # regularizer without the early-training interaction
+    time_jitter_start: int = 0
     vq_drop: bool = False         # VQ dropout
     drop_dim: int = 0
     beta: float = 0.25            # VQ commitment weight

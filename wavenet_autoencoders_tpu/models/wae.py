@@ -183,11 +183,15 @@ class VQWAE(WAEBase):
             q, loss, perp, idx = bn.vq_apply(params["vq"], z, beta=self.beta)
         return q, loss, perp, idx, state
 
-    def _post_vq(self, params, q, rng, train, dtype=None):
+    def _post_vq(self, params, q, rng, train, dtype=None, jitter_scale=1.0):
         if train and self.use_time_jitter and rng is not None:
             rng, sk = jax.random.split(rng)
+            # jitter_scale may be a traced 0/1 gate (cfg.time_jitter_start:
+            # delay jitter past the commitment warm-up — round-4 run E
+            # showed jitter-from-step-0 re-collapses the codebook)
             q = bn.time_jitter(
-                sk, q, self.time_jitter_prob, per_side=self.time_jitter_per_side
+                sk, q, self.time_jitter_prob * jitter_scale,
+                per_side=self.time_jitter_per_side,
             )
         if self.post_conv:
             from wavenet_autoencoders_tpu.ops.conv import conv1d_apply
@@ -214,7 +218,8 @@ class VQWAE(WAEBase):
         q, _loss, _perp, _idx, _state = self._quantize(params, state, z, train=False)
         return q
 
-    def forward(self, params, state, rng, x, c, g, train=True, dtype=None):
+    def forward(self, params, state, rng, x, c, g, train=True, dtype=None,
+                jitter_scale=1.0):
         enc = self.make_encoder()
         z = enc.apply(params["encoder"], c, dtype=dtype)
         z, rng = self._pre_vq(z, rng, train)
@@ -234,7 +239,7 @@ class VQWAE(WAEBase):
                 z.reshape(-1, z.shape[-1]).astype(jnp.float32)
             )
             new_state = {**new_state, "_vq_diag": {"z": flat, "counts": counts}}
-        q = self._post_vq(params, q, rng, train, dtype)
+        q = self._post_vq(params, q, rng, train, dtype, jitter_scale=jitter_scale)
         y_hat = self._decoder_forward(params, x, q, g, rng, train, dtype)
         return y_hat, vq_loss, perp, new_state
 

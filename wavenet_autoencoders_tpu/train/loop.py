@@ -370,6 +370,18 @@ def _addressable_state(state):
     return jax.tree.map(local, state)
 
 
+def _hook_params(cfg, state, step):
+    """Params for qualitative decode hooks: the reference uses the EMA
+    shadow there (vqwae_train.py:643-691), but a young shadow is mostly
+    random init — use it only once it has warmed (step >= 5/(1-decay)),
+    live params before that."""
+    from wavenet_autoencoders_tpu.train.step import ema_warm_steps
+
+    if state.ema_params is not None and step >= ema_warm_steps(cfg.ema_decay):
+        return state.ema_params
+    return state.params
+
+
 def _try_save_states(cfg, fwd_fn, state, step, batch, ckpt_dir):
     """Teacher-forced sample dump (vqwae_train.py:768-769) — best-effort,
     through the cached jitted forward (no eager re-trace per call)."""
@@ -377,7 +389,7 @@ def _try_save_states(cfg, fwd_fn, state, step, batch, ckpt_dir):
         from wavenet_autoencoders_tpu.train.eval_hooks import save_states
         from wavenet_autoencoders_tpu.train.step import _prep_x
 
-        params = state.ema_params if state.ema_params is not None else state.params
+        params = _hook_params(cfg, state, step)
         y_hat = fwd_fn(
             params, state.model_state, jax.random.PRNGKey(step),
             _prep_x(cfg, batch["x"]), batch.get("c"), batch.get("g"),
@@ -392,7 +404,7 @@ def _try_eval_model(cfg, model, state, step, batch, ckpt_dir, phase="train_no_de
     try:
         from wavenet_autoencoders_tpu.train.eval_hooks import eval_model
 
-        params = state.ema_params if state.ema_params is not None else state.params
+        params = _hook_params(cfg, state, step)
         eval_dir = Path(ckpt_dir) / "intermediate" / f"{phase}_eval"
         eval_model(cfg, model, params, state.model_state, step, batch, eval_dir)
     except Exception as e:

