@@ -109,6 +109,24 @@ def main():
     from wavenet_autoencoders_tpu.train.step import init_state, make_train_step
 
     dev = jax.devices()[0]
+
+    # ---- chip-idleness calibration: a fixed matmul with known cost. If
+    # another process (trainer, driver) shares the chip, or the tunnel is
+    # degraded, this number inflates and flags the whole run as
+    # contended — the round-4 synthesis "regression" (231->138 au-s/s)
+    # was exactly such a window and was unprovable without this ----
+    import jax.numpy as _jnp
+
+    xc = _jnp.ones((4096, 4096), _jnp.bfloat16)
+    mm = jax.jit(lambda a: (a @ a).sum())
+    _sync(mm(xc))
+    calib = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _sync(mm(xc))
+        calib.append(time.perf_counter() - t0)
+    calib_ms = float(np.median(calib)) * 1e3
+
     cfg = load_preset("svqwae", "batch_size=40,compute_dtype=bfloat16")
     model = build_model(cfg)
     state = init_state(cfg, model, jax.random.PRNGKey(0))
@@ -225,6 +243,8 @@ def main():
         "vs_baseline": round(synth_aps / REF_SYNTH_AUDIO_SEC_PER_SEC, 1),
         "extra": {
             "platform": dev.platform,
+            "calib_matmul_ms": round(calib_ms, 2),
+            "calib_matmul_reps_ms": [round(t * 1e3, 2) for t in calib],
             "train_samples_per_sec_per_chip": round(train_sps, 1),
             "train_samples_per_sec_fed_pipeline": round(fed_sps, 1),
             "fed_pipeline_fraction": round(fed_sps / train_sps, 3),

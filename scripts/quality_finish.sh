@@ -19,7 +19,10 @@ FRAMES=${QF_FRAMES:-400}
 
 timeout 2400 python scripts/quality_eval.py $EXP $Q $UTTS $FRAMES 2>&1 | tail -40
 
-timeout 1200 env QI_ROOT=$Q python scripts/run_quality_infer.py $EXPNAME/checkpoint_latest_ema.npz abx_final 2>&1 | tail -4
+# checkpoint_latest (not the _ema sibling): the CLI's use_ema="auto"
+# picks EMA only once the shadow is warm (step >= 5/(1-decay)) — passing
+# the _ema file outright re-creates the round-4 stale-shadow bug
+timeout 1200 env QI_ROOT=$Q python scripts/run_quality_infer.py $EXPNAME/checkpoint_latest.npz abx_final 2>&1 | tail -4
 timeout 900 python scripts/abx_proxy.py $Q/abx_final/2019/english/test $Q/raw/test_phone_labels.json $Q/dump/2019/english/test 2>&1 | tail -4
 
 cd $Q

@@ -28,11 +28,18 @@ for line in r.stdout.splitlines()[-2:]:
     print(line)
 if r.returncode != 0:
     sys.exit(r.stderr[-2000:])
+# latent rate from the experiment's frozen config — an IN-WAE at
+# frame_rate 50 scored with the default 25 would misalign every segment
+frame_rate = 25.0
+cfg_p = os.path.join(os.path.dirname(os.path.join(qroot, ckpt)), "config.json")
+if os.path.exists(cfg_p):
+    frame_rate = float(json.load(open(cfg_p)).get("frame_rate", 25))
 r2 = subprocess.run(
     [sys.executable, "/root/repo/scripts/abx_proxy.py",
      f"{qroot}/abx_{tag}/2019/english/test",
      f"{qroot}/raw/test_phone_labels.json",
-     f"{qroot}/dump/2019/english/test"],
+     f"{qroot}/dump/2019/english/test",
+     str(frame_rate)],
     capture_output=True, text=True)
 # print the full scorer summary (latents line, MFCC-baseline line, JSON)
 print(r2.stdout, end="")
