@@ -39,9 +39,20 @@ from wavenet_autoencoders_tpu.cli.main import _load_model
 
 
 def mcd_db(mfcc_a: np.ndarray, mfcc_b: np.ndarray) -> float:
-    """Mel-cepstral distortion in dB over c1..c12 (frame-aligned)."""
+    """Mel-cepstral distortion in dB over c1..c12 (frame-aligned).
+
+    ``dsp.mfcc`` cepstra come from the dB-scaled POWER mel spectrum
+    (librosa convention); the classic MCD formula expects natural-log
+    MAGNITUDE cepstra, so rescale by ln(10)/10 (dB -> ln) and 1/2
+    (power -> magnitude) first — without this the reported values are
+    inflated ~8.7x (rounds 1-4 published 400-700 'dB'). Values remain
+    above classic SPTK-envelope MCD (~5-8 dB for good vocoders) because
+    80-bin DCT cepstra keep spectral detail a smoothed envelope drops
+    and the comparison is frame-locked (no DTW) on stochastically
+    sampled audio; the mismatched-GT calibration row anchors the scale."""
     n = min(len(mfcc_a), len(mfcc_b))
-    d = mfcc_a[:n, 1:13] - mfcc_b[:n, 1:13]
+    scale = np.log(10.0) / 10.0 / 2.0
+    d = scale * (mfcc_a[:n, 1:13] - mfcc_b[:n, 1:13])
     return float((10.0 / np.log(10)) * np.mean(np.sqrt(2.0 * np.sum(d * d, axis=1))))
 
 
@@ -163,6 +174,14 @@ def main():
     for name, rows in [("dev", dev_rows), ("test", test_rows)]:
         out[f"{name}_mcd_db_mean"] = float(np.mean([r["mcd_db"] for r in rows]))
         out[f"{name}_mel_l1_mean"] = float(np.mean([r["mel_l1"] for r in rows]))
+    out["test_note"] = (
+        "test speakers are UNSEEN (challenge setup): their speaker "
+        "embeddings are untrained, so own-speaker test reconstruction is "
+        "expected to be poor and is reported for completeness only. "
+        "Fidelity is measured on dev (seen speakers); test-content "
+        "quality is measured by the voice-conversion submission path "
+        "(trained target voices), as in the reference."
+    )
 
     # calibration floor/ceiling for the MCD scale used here (dsp.mfcc
     # cepstra): mismatched ground-truth pairs = "unrelated audio" ceiling

@@ -220,7 +220,6 @@ class Config:
     # ---- TPU-specific (new in this framework) ----
     mesh_shape: dict = field(default_factory=lambda: {"data": -1, "model": 1})
     compute_dtype: str = "bfloat16"   # activations dtype in matmul-heavy paths
-    fused_glu: bool = False           # Pallas fused GLU layers in training
     fused_stack: bool = False         # whole-stack Pallas fwd+bwd GLU kernel
     param_dtype: str = "float32"
     seed: int = 1234

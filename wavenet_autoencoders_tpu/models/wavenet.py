@@ -70,10 +70,11 @@ class WaveNet:
     scalar_input: bool = False
     use_speaker_embedding: bool = False
     output_distribution: str = "Logistic"
-    # TPU fast path: per-layer fused Pallas GLU (kernels/glu_train.py) with
-    # explicit VJP; requires dropout == 0 and kernel_size == 3
-    fused_glu: bool = False
-    fused_stack: bool = False  # whole-stack Pallas fwd+bwd (kernels/glu_stack.py)
+    # experimental: whole-stack fused Pallas fwd+bwd (kernels/glu_stack.py)
+    # with explicit VJP; requires dropout == 0 and kernel_size == 3.
+    # Default OFF — measured slower than XLA's own fusion (see README
+    # "Deliberate deviations"); the plain-JAX path is the production path.
+    fused_stack: bool = False
 
     # ---- derived ----
     @property
@@ -263,36 +264,6 @@ class WaveNet:
                 h, c, g_adds, wconv, bconv, wc, wout, bout, wskip, bskip,
                 dils, interp,
             ).astype(jnp.float32)
-        elif self.fused_glu and self.kernel_size == 3 and self.dropout == 0.0:
-            from wavenet_autoencoders_tpu.kernels.glu_train import fused_glu_layer
-            from wavenet_autoencoders_tpu.ops.conv import conv1d_weight
-
-            interp = jax.devices()[0].platform == "cpu"
-            if dtype is not None:
-                h = h.astype(dtype)
-                c = None if c is None else c.astype(dtype)
-            skips = 0.0
-            for i, lp in enumerate(params["layers"]):
-                g_add = None
-                if g_feat is not None and "gproj" in lp:
-                    g_add = jnp.einsum(
-                        "bj,jg->bg", g_feat, conv1d_weight(lp["gproj"], dtype)[0]
-                    )
-                h, s = fused_glu_layer(
-                    h,
-                    c,
-                    g_add,
-                    conv1d_weight(lp["conv"], dtype),
-                    lp["conv"]["b"],
-                    conv1d_weight(lp["cproj"], dtype)[0] if c is not None else None,
-                    conv1d_weight(lp["out"], dtype)[0],
-                    lp["out"]["b"],
-                    conv1d_weight(lp["skip"], dtype)[0],
-                    lp["skip"]["b"],
-                    self.dilation(i),
-                    interp,
-                )
-                skips = skips + s.astype(jnp.float32)
         else:
             skips = 0.0
             for i, lp in enumerate(params["layers"]):

@@ -45,7 +45,6 @@ def build_wavenet(cfg: Config, gin_channels=None, use_speaker_embedding=True) ->
         scalar_input=cfg.is_scalar_input,
         use_speaker_embedding=use_speaker_embedding,
         output_distribution=cfg.output_distribution,
-        fused_glu=cfg.fused_glu,
         fused_stack=cfg.fused_stack,
     )
 
