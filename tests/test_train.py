@@ -115,13 +115,49 @@ def test_train_step_overfits_tiny_batch():
     assert losses[-1] < losses[0] * 0.8, losses[::10]
 
 
-def test_eval_step_uses_ema_params():
+def test_eval_step_live_params_primary_ema_separate():
+    """Dev metrics come from LIVE params (vqwae_train.py:849-852); the EMA
+    shadow's recon loss is a separate scalar. At init shadow == params so
+    both must agree; after training steps they must diverge (the shadow
+    lags), proving the primary metric is NOT the shadow — the round-4
+    stale-EMA bug regression test."""
     cfg = tiny_cfg()
     model = build_model(cfg)
     state = init_state(cfg, model, jax.random.PRNGKey(0))
     eval_fn = make_eval_step(cfg, model)
-    m = eval_fn(state, tiny_batch(cfg), jax.random.PRNGKey(3))
-    assert np.isfinite(float(m["loss"]))
+    batch = tiny_batch(cfg)
+    m0 = eval_fn(state, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(m0["loss"]))
+    np.testing.assert_allclose(
+        float(m0["recon_loss"]), float(m0["recon_loss_ema"]), rtol=1e-5
+    )
+    step_fn = make_train_step(cfg, model, donate=False)
+    for i in range(8):
+        state, _ = step_fn(state, batch, jax.random.PRNGKey(i))
+    m = eval_fn(state, batch, jax.random.PRNGKey(3))
+    live, ema = float(m["recon_loss"]), float(m["recon_loss_ema"])
+    assert abs(live - ema) > 1e-4, (live, ema)
+    # the 0.9999-decay shadow after 8 steps is still ~init: its loss must
+    # sit near the init loss, the live one must have moved with training
+    assert abs(ema - float(m0["recon_loss_ema"])) < abs(live - float(m0["recon_loss"])), (
+        live, ema, float(m0["recon_loss"]))
+
+
+def test_eval_step_no_ema_configured():
+    cfg = tiny_cfg(exponential_moving_average=False)
+    model = build_model(cfg)
+    state = init_state(cfg, model, jax.random.PRNGKey(0))
+    assert state.ema_params is None
+    m = make_eval_step(cfg, model)(state, tiny_batch(cfg), jax.random.PRNGKey(3))
+    assert "recon_loss_ema" not in m and np.isfinite(float(m["loss"]))
+
+
+def test_ema_warm_steps_threshold():
+    from wavenet_autoencoders_tpu.train.step import ema_warm_steps
+
+    assert ema_warm_steps(0.9999) in (50000, 50001)  # fp ceil wobble
+    assert ema_warm_steps(0.99) in (500, 501)
+    assert ema_warm_steps(1.0) > 1e8
 
 
 def test_train_step_ema_codebook_state_updates():
