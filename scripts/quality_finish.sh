@@ -33,7 +33,7 @@ os.chdir("$Q")
 from wavenet_autoencoders_tpu.cli.main import main
 main([
     "synthesize", "--preset", "$EXPNAME/config.json",
-    "$EXPNAME/checkpoint_latest_ema.npz",
+    "$EXPNAME/checkpoint_latest.npz",   # use_ema="auto" picks the warm shadow only
     "dump/2019/english/test", "syn_out", "raw/synthesis.txt",
     "scp/2019/2019_speaker2ind_english.json", "english",
     "--train-dump-root", "dump/2019/english/train_no_dev",

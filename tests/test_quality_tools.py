@@ -44,11 +44,15 @@ def test_mcd_zero_for_identical_and_positive_otherwise():
     assert mcd_db(a, a) == 0.0
     b = a + rng.standard_normal((50, 39)) * 0.1
     assert mcd_db(a, b) > 0.0
-    # known value: constant offset d on every coefficient c1..c12
+    # known value: constant offset d on every coefficient c1..c12.
+    # Inputs are dB-scale POWER-spectrum cepstra (dsp.mfcc convention);
+    # mcd_db rescales them by ln(10)/10/2 to natural-log magnitude
+    # cepstra before applying the classic formula.
     d = 0.3
     c = a.copy()
     c[:, 1:13] += d
-    expect = (10.0 / np.log(10)) * np.sqrt(2 * 12 * d * d)
+    scale = np.log(10.0) / 10.0 / 2.0
+    expect = (10.0 / np.log(10)) * np.sqrt(2 * 12 * (scale * d) ** 2)
     np.testing.assert_allclose(mcd_db(a, c), expect, rtol=1e-6)
 
 
