@@ -174,6 +174,24 @@ def test_06_synthesize_voice_conversion(pipeline):
     sr, y = wavfile.read(wavs[0])
     assert sr == SR and len(y) > 1000
 
+    # bucket-padded decode (--pad-frames-multiple): shared compiled shape,
+    # wav cropped back to the exact unpadded length
+    dst_p = root / "syn_out_padded"
+    cli([
+        "synthesize", "--preset", str(ckpt / "config.json"),
+        str(ckpt / "checkpoint_latest.npz"),
+        str(pipeline["dump"]),
+        str(dst_p) + "/",
+        str(syn_list),
+        str(pipeline["scp"] / "2019_speaker2ind_english.json"),
+        "english",
+        "--pad-frames-multiple", "64",
+    ])
+    wavs_p = sorted((dst_p / "2019/english/test").glob("*.wav"))
+    assert len(wavs_p) == 1
+    _, y_p = wavfile.read(wavs_p[0])
+    assert len(y_p) == len(y), (len(y_p), len(y))
+
 
 def test_04b_nepochs_bounds_training(pipeline):
     """cfg.nepochs stops the loop like the reference's epoch-bounded loop

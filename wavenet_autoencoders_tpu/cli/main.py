@@ -105,6 +105,10 @@ def main(argv=None):
     p.add_argument("--tar-utt-map", default=None, help="json: speaker -> mfcc.norm.npy for AdaIN (default: auto from train dump)")
     p.add_argument("--train-dump-root", default=None, help="train_no_dev dump dir for auto tar_c selection")
     p.add_argument("--batch", type=int, default=1, help="utterances decoded in parallel")
+    p.add_argument("--pad-frames-multiple", type=int, default=0,
+                   help="bucket conditioning lengths to a multiple of N frames "
+                        "(edge-replicated, cropped back) so utterances share "
+                        "compiled decode programs; 0 = exact lengths")
     p.add_argument("--use-ema", action=argparse.BooleanOptionalAction, default="auto",
                    help="load the *_ema checkpoint sibling; --no-use-ema uses raw weights")
 
@@ -203,6 +207,7 @@ def main(argv=None):
             tar_utt_map=tar_map,
             batch=args.batch,
             train_dump_root=args.train_dump_root,
+            pad_multiple=args.pad_frames_multiple,
         )
 
 

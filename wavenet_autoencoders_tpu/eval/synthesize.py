@@ -182,6 +182,7 @@ def run_synthesis_list(
     key=None,
     batch: int = 4,
     train_dump_root: str | None = None,
+    pad_multiple: int = 0,
 ):
     """Voice-conversion loop (``synthesis.py:473-529``).
 
@@ -191,6 +192,14 @@ def run_synthesis_list(
     (``synthesis.py:500-519``). When no map is given it is built
     automatically from the sibling ``train_no_dev`` dump dir (or
     ``train_dump_root``), like the reference's fixed per-speaker choices.
+
+    ``pad_multiple`` (frames, 0 = exact lengths): bucket conditioning
+    lengths up to a multiple so utterances share a handful of compiled
+    decode programs instead of one per distinct length (each fresh T
+    costs minutes of XLA compile on the fused kernel). Padding is
+    edge-replication — real trailing frames, so IN-family per-utterance
+    statistics shift far less than zero-padding — and the generated
+    waveform is cropped back to the true length before writing.
     """
     lines = [l.strip() for l in open(syn_list_path) if l.strip()]
     sp2ind = json.load(open(speaker2ind_path))
@@ -222,6 +231,10 @@ def run_synthesis_list(
         if not feat_path.exists():
             raise FileNotFoundError(feat_path)
         c = _pad_frames(cfg, np.load(feat_path))
+        true_frames = c.shape[0]
+        if pad_multiple > 0 and c.shape[0] % pad_multiple != 0:
+            pad = pad_multiple - (c.shape[0] % pad_multiple)
+            c = np.pad(c, [(0, pad), (0, 0)], mode="edge")
         if tar not in sp2ind:
             raise KeyError(f"speaker {tar} not in {speaker2ind_path}")
         tar_c = None
@@ -229,13 +242,20 @@ def run_synthesis_list(
             if not tar_utt_map or tar not in tar_utt_map:
                 raise KeyError(f"IN-model synthesis needs a tar_c utterance for {tar}")
             tar_c = np.load(tar_utt_map[tar])
-        items.append((i, c, sp2ind[tar], tar, fid, tar_c))
+        items.append((i, c, sp2ind[tar], tar, fid, tar_c, true_frames))
 
     groups: dict = {}
     for it in items:
         # IN-family: batch only items sharing the same tar_c source
         gk = (it[1].shape[0], None if it[5] is None else it[3])
         groups.setdefault(gk, []).append(it)
+
+    # samples of audio per conditioning frame (crop-back factor)
+    div = 100 // cfg.frame_rate
+    if cfg.upsample_conditional_features:
+        spf = int(np.prod(cfg.upsample_scales)) // div
+    else:
+        spf = cfg.up_factor // div if hasattr(model, "frame_rate") else cfg.get_hop_size()
 
     written = []
     for (_frames, _tarsp), group in groups.items():
@@ -250,9 +270,9 @@ def run_synthesis_list(
                 tar_c=None if tar_c is None else _pad_frames(cfg, tar_c)[None],
                 key=sub,
             )
-            for (i, _c, _sp, tar, fid, _tc), wav in zip(chunk, wavs):
+            for (i, _c, _sp, tar, fid, _tc, tf), wav in zip(chunk, wavs):
                 dst = out_dir / f"{tar}_{fid}.wav"
-                dsp.save_wav(wav, dst, cfg.sample_rate)
+                dsp.save_wav(wav[: tf * spf], dst, cfg.sample_rate)
                 written.append(str(dst))
                 print(f"ind {i} -> {dst}", flush=True)
     return written
