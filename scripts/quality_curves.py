@@ -1,6 +1,5 @@
-"""Render quality-curves-r4.png for QUALITY.md: codebook perplexity and
-train CE vs step for the round-4 runs (D: anti-collapse levers; E: +time
-jitter) against the round-3 collapsed-regime run on the same corpus.
+"""Render the QUALITY.md curves figure: codebook perplexity and train CE
+vs step for the rounds-4/5 runs against the round-3 collapsed regime.
 
 Form: change-over-time -> line chart, one axis per panel (dataviz skill);
 categorical palette = the skill's validated defaults in fixed slot order.
@@ -18,16 +17,23 @@ matplotlib.use("Agg")
 import matplotlib.pyplot as plt
 
 Q2 = Path("/root/repo/quality2")
-OUT = Path(sys.argv[1]) if len(sys.argv) > 1 else Path("/root/repo/quality-curves-r4.png")
+OUT = Path(sys.argv[1]) if len(sys.argv) > 1 else Path("/root/repo/quality-curves-r5.png")
 
 # validated categorical slots (light mode), fixed order
-C1, C2, C3 = "#2a78d6", "#d95926", "#199e70"
+C1, C2, C3, C4, C5, C6 = (
+    "#2a78d6", "#d95926", "#199e70", "#8250c4", "#c02f7a", "#8c8a84"
+)
 INK, MUTED = "#0b0b0b", "#52514e"
 
 RUNS = [
-    ("run D — reseed + warm-up", Q2 / "exp/svqwae_r4/logs/metrics.jsonl", C1),
-    ("run E — + time jitter", Q2 / "exp/svqwae_r4j/logs/metrics.jsonl", C2),
-    ("round 3 — no levers (collapsed regime)", Q2 / "exp/svqwae_sharp/logs/metrics.jsonl", C3),
+    ("run D (r4) — reseed + warm-up", Q2 / "exp/svqwae_r4/logs/metrics.jsonl", C1),
+    ("run E (r4) — + jitter from step 0", Q2 / "exp/svqwae_r4j/logs/metrics.jsonl", C2),
+    ("run G (r5) — + jitter from step 3k", Q2 / "exp/svqwae_r5/logs/metrics.jsonl", C4),
+    ("run H (r5) — 50 Hz latent, no jitter", Q2 / "exp/svqwae_r5_fr50/logs/metrics.jsonl", C5),
+    ("round 3 — no levers (collapsed regime)", Q2 / "exp/svqwae_sharp/logs/metrics.jsonl", C6),
+]
+LOSS_ONLY_RUNS = [
+    ("run F (r5) — IN-WAE (continuous)", Q2 / "exp/inwae_r5/logs/metrics.jsonl", C3),
 ]
 
 
@@ -72,7 +78,7 @@ def main():
     style(ax1, "Codebook perplexity (sum of 2 slices, log scale)", "perplexity")
     ax1.legend(frameon=False, fontsize=8, loc="lower right", labelcolor=INK)
 
-    for name, path, color in RUNS:
+    for name, path, color in RUNS + LOSS_ONLY_RUNS:
         xs, ys = series(path, "loss")
         if xs:
             ax2.plot(xs, ys, color=color, linewidth=2, label=name)
