@@ -185,3 +185,28 @@ def test_time_jitter_total_vs_per_side_probability():
         out = bn.time_jitter(key, z, prob=0.12, per_side=per_side)
         moved = float((np.asarray(out)[0, :, 0] != np.arange(T)).mean())
         assert abs(moved - expect) < 0.02, (per_side, moved)
+
+
+def test_sliced_vq_commit_scale_weights_encoder_pull():
+    """commit_scale scales ONLY the encoder-pull term mean((sg(q)-z)^2);
+    the codebook term (beta-weighted) and the straight-through output are
+    unchanged (reference parity at commit_scale=1)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from wavenet_autoencoders_tpu.models import bottlenecks as bn
+
+    key = jax.random.PRNGKey(0)
+    params = bn.sliced_vq_init(key, K=8, D=8, num_slices=2)
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 8))
+    q1, l1, p1, i1 = bn.sliced_vq_apply(params, z, beta=0.25, commit_scale=1.0)
+    q0, l0, p0, i0 = bn.sliced_vq_apply(params, z, beta=0.25, commit_scale=0.0)
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(q0))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
+    enc_pull = float(jnp.mean((jax.lax.stop_gradient(q1) - z) ** 2))
+    np.testing.assert_allclose(float(l1 - l0), enc_pull, rtol=1e-5)
+    # encoder gradient: at scale 0 the pull on z through the loss vanishes
+    g1 = jax.grad(lambda z_: bn.sliced_vq_apply(params, z_, 0.25, 1.0)[1])(z)
+    g0 = jax.grad(lambda z_: bn.sliced_vq_apply(params, z_, 0.25, 0.0)[1])(z)
+    assert float(jnp.abs(g0).max()) < 1e-7
+    assert float(jnp.abs(g1).max()) > 1e-4

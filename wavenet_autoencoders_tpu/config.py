@@ -205,6 +205,9 @@ class Config:
     vq_drop: bool = False         # VQ dropout
     drop_dim: int = 0
     beta: float = 0.25            # VQ commitment weight
+    # scale on the sliced-VQ encoder-pull term (sg(q)-z)^2; 1.0 = reference
+    # parity (the reference hardcodes it) - see bottlenecks.sliced_vq_apply
+    vq_commit_scale: float = 1.0
     # ---- anti-collapse levers (new; rounds 1-3 showed the reference's
     # Laplace smoothing alone does not keep the codebook alive) ----
     vq_reseed: bool = False       # dead-code revival (bottlenecks.reseed_slice)

@@ -105,9 +105,19 @@ def sliced_vq_init(key, K: int, D: int, num_slices: int = 2, K1: int | None = No
     return {"codebooks": [_uniform_codebook(k, s, sub) for k, s in zip(keys, sizes)]}
 
 
-def sliced_vq_apply(params: dict, z: jnp.ndarray, beta: float = 0.25):
+def sliced_vq_apply(
+    params: dict, z: jnp.ndarray, beta: float = 0.25, commit_scale: float = 1.0
+):
     """Standard-form loss: mean((sg(q)-z)²) + β·mean((q-sg(z))²); perplexity
-    is the SUM over slices (``vector_quantization.py:125-127``)."""
+    is the SUM over slices (``vector_quantization.py:125-127``).
+
+    ``commit_scale`` (default 1.0 = reference parity) scales the
+    encoder-pull term mean((sg(q)-z)²) — the clustering force on the
+    encoder output. The reference hardcodes it to 1; the round-5
+    representation diagnosis (QUALITY.md §3.3) implicates it: the
+    identical encoder trained without any VQ pull (IN-WAE) is
+    phone-discriminative while every full-strength-commitment SVQ run is
+    not, across frame rates, jitter settings and schedules."""
     B, T, D = z.shape
     books = params["codebooks"]
     n = len(books)
@@ -125,7 +135,7 @@ def sliced_vq_apply(params: dict, z: jnp.ndarray, beta: float = 0.25):
 
     codebook_term = jnp.mean((jax.lax.stop_gradient(q) - z) ** 2)
     commit_term = jnp.mean((q - jax.lax.stop_gradient(z)) ** 2)
-    vq_loss = codebook_term + beta * commit_term
+    vq_loss = commit_scale * codebook_term + beta * commit_term
 
     q_st = z + jax.lax.stop_gradient(q - z)
     return q_st, vq_loss, perp, jnp.stack(idxs, axis=-1)

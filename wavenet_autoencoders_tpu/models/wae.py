@@ -119,6 +119,9 @@ class VQWAE(WAEBase):
     K1: int | None = None
     num_slices: int = 2
     beta: float = 0.25
+    # scale on the encoder-pull term of the sliced-VQ loss (1.0 =
+    # reference parity; see bottlenecks.sliced_vq_apply)
+    commit_scale: float = 1.0
     ema: bool = False
     ema_decay: float = 0.99
     sliced: bool = False
@@ -178,7 +181,9 @@ class VQWAE(WAEBase):
             )
             return q, loss, perp, idx, {**state, "vq": new_vq}
         if self.sliced:
-            q, loss, perp, idx = bn.sliced_vq_apply(params["vq"], z, beta=self.beta)
+            q, loss, perp, idx = bn.sliced_vq_apply(
+                params["vq"], z, beta=self.beta, commit_scale=self.commit_scale
+            )
         else:
             q, loss, perp, idx = bn.vq_apply(params["vq"], z, beta=self.beta)
         return q, loss, perp, idx, state

@@ -82,6 +82,7 @@ def build_model(cfg: Config):
             K1=K1,
             num_slices=cfg.num_slices,
             beta=cfg.beta,
+            commit_scale=cfg.vq_commit_scale,
             ema=cfg.ema,
             sliced=cfg.sliced,
             ins_norm=cfg.ins_norm,
